@@ -1,0 +1,85 @@
+"""Headline benchmark: batched Walker3D env throughput on one chip.
+
+Measures BASELINE.json config 2 (``Walker3DCustomEnv batched 4096 under
+jit+vmap, flat terrain``) and prints ONE JSON line:
+    {"metric": ..., "value": N, "unit": "env_steps/s", "vs_baseline": N/1e6}
+``vs_baseline`` is the ratio against the 1M env-steps/s/chip north-star
+target (BASELINE.md — the reference itself publishes no numbers).
+
+Env knobs:
+    BENCH_BATCH   (default 4096)   env batch size
+    BENCH_STEPS   (default 50)     control steps per timed round
+    BENCH_ROUNDS  (default 3)      timed rounds (best-of reported)
+    BENCH_QUICK=1                  tiny smoke config for CPU
+"""
+
+from __future__ import annotations
+
+import functools
+import json
+import os
+import sys
+import time
+
+
+def main() -> None:
+    import jax
+    import jax.numpy as jnp
+
+    import mocca_envs_tpu
+    from mocca_envs_tpu.core import rng as rng_mod
+
+    quick = os.environ.get("BENCH_QUICK") == "1"
+    B = int(os.environ.get("BENCH_BATCH", "64" if quick else "4096"))
+    T = int(os.environ.get("BENCH_STEPS", "5" if quick else "50"))
+    rounds = int(os.environ.get("BENCH_ROUNDS", "1" if quick else "3"))
+
+    env = mocca_envs_tpu.make("Walker3DCustomEnv-v0")
+
+    keys = rng_mod.env_keys(rng_mod.root_key(0), B)
+    state = jax.jit(jax.vmap(env.init))(keys)
+
+    @functools.partial(jax.jit, donate_argnums=(0,))
+    def rollout(state, key):
+        def body(carry, _):
+            state, key = carry
+            key, ka = jax.random.split(key)
+            actions = jax.random.uniform(
+                ka, (B, env.act_dim), minval=-1.0, maxval=1.0
+            )
+            tr = jax.vmap(env.step)(state, actions)
+            return (tr.state, key), ()
+
+        (state, key), _ = jax.lax.scan(body, (state, key), None, length=T)
+        return state, key
+
+    key = jax.random.key(1)
+    t_compile = time.perf_counter()
+    state, key = rollout(state, key)
+    jax.block_until_ready(state.q)
+    compile_s = time.perf_counter() - t_compile
+
+    best = float("inf")
+    for _ in range(rounds):
+        t0 = time.perf_counter()
+        state, key = rollout(state, key)
+        jax.block_until_ready(state.q)
+        best = min(best, time.perf_counter() - t0)
+
+    steps_per_s = B * T / best
+    result = {
+        "metric": "walker3d_env_steps_per_s_b%d" % B,
+        "value": round(steps_per_s, 1),
+        "unit": "env_steps/s",
+        "vs_baseline": round(steps_per_s / 1_000_000.0, 4),
+    }
+    print(json.dumps(result))
+    print(
+        f"# device={jax.devices()[0].device_kind} batch={B} steps={T} "
+        f"best_round={best:.3f}s compile+first={compile_s:.1f}s",
+        file=sys.stderr,
+    )
+
+
+if __name__ == "__main__":
+    main()

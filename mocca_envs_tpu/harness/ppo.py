@@ -1,0 +1,339 @@
+"""PPO learner over sharded env batches — BASELINE.json config 5's harness.
+
+The reference ships no trainer (SURVEY.md §1: training lived in sibling
+repos consuming the Gym API); the benchmark suite nevertheless requires a
+learner fed by sharded envs over ICI collectives. Design (SURVEY.md §2.4,
+§5.8):
+
+- env batch sharded over the mesh ``env`` axis; rollout is collective-free;
+- actor-critic params REPLICATED; every shard computes gradients on its
+  local trajectory slice and gradients are ``psum``-averaged over ICI —
+  plain DP gradient sync, the only collective the workload warrants (no
+  TP/PP/SP is faked: the MLP is tiny, SURVEY.md §2.4);
+- advantage statistics are also globally psum-reduced so normalization is
+  batch-size invariant;
+- the whole update (rollout → GAE → minibatched clipped-surrogate epochs)
+  is ONE jitted shard_map program with donated carry.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from flax import linen as nn
+from flax import struct
+from jax.sharding import Mesh, PartitionSpec as P
+
+from mocca_envs_tpu.core import rng as rng_mod
+from mocca_envs_tpu.envs.env import FnEnv
+from mocca_envs_tpu.harness.rollout import Trajectory, make_batched_rollout
+from mocca_envs_tpu.parallel.mesh import ENV_AXIS, env_mesh, env_sharding
+
+
+@dataclasses.dataclass(frozen=True)
+class PPOConfig:
+    horizon: int = 128
+    num_epochs: int = 4
+    num_minibatches: int = 4
+    gamma: float = 0.99
+    gae_lambda: float = 0.95
+    clip_eps: float = 0.2
+    lr: float = 3e-4
+    vf_coef: float = 0.5
+    ent_coef: float = 0.0
+    max_grad_norm: float = 0.5
+    hidden: tuple = (256, 256)
+
+
+class ActorCritic(nn.Module):
+    """Tanh-MLP Gaussian policy + value head (ALLSTEPS-style capacity)."""
+
+    act_dim: int
+    hidden: tuple = (256, 256)
+
+    @nn.compact
+    def __call__(self, obs):
+        x = obs
+        for h in self.hidden:
+            x = nn.tanh(nn.Dense(h)(x))
+        mean = nn.Dense(self.act_dim, kernel_init=nn.initializers.orthogonal(0.01))(x)
+        log_std = self.param(
+            "log_std", nn.initializers.constant(-0.5), (self.act_dim,)
+        )
+        v = x
+        value = nn.Dense(1, kernel_init=nn.initializers.orthogonal(1.0))(v)
+        return mean, log_std, jnp.squeeze(value, -1)
+
+
+def _gaussian_sample(mean, log_std, key):
+    std = jnp.exp(log_std)
+    eps = jax.random.normal(key, mean.shape)
+    action = mean + std * eps
+    log_prob = jnp.sum(
+        -0.5 * jnp.square(eps) - log_std - 0.5 * jnp.log(2 * jnp.pi), axis=-1
+    )
+    return action, log_prob
+
+
+def _gaussian_log_prob(mean, log_std, action):
+    std = jnp.exp(log_std)
+    z = (action - mean) / std
+    return jnp.sum(-0.5 * jnp.square(z) - log_std - 0.5 * jnp.log(2 * jnp.pi), axis=-1)
+
+
+class TrainState(struct.PyTreeNode):
+    params: Any
+    opt_state: Any
+    env_state: Any
+    obs: jnp.ndarray
+    key: jax.Array
+    update_count: jnp.ndarray
+
+
+def gae(traj: Trajectory, last_value, gamma, lam):
+    """Generalized advantage estimation, reverse scan over time."""
+
+    def body(carry, xs):
+        next_adv, next_value = carry
+        reward, done, value = xs
+        nonterm = 1.0 - done.astype(value.dtype)
+        delta = reward + gamma * next_value * nonterm - value
+        adv = delta + gamma * lam * nonterm * next_adv
+        return (adv, value), adv
+
+    (_, _), advs = jax.lax.scan(
+        body,
+        (jnp.zeros_like(last_value), last_value),
+        (traj.reward, traj.done, traj.value),
+        reverse=True,
+    )
+    return advs, advs + traj.value
+
+
+class PPOLearner:
+    """Compiled PPO: ``train_step(state) → (state, metrics)``.
+
+    With a mesh, the update runs as one shard_map program (env-sharded
+    rollout, psum-averaged gradients); without, a single-device jit.
+    """
+
+    def __init__(
+        self,
+        env: FnEnv,
+        config: PPOConfig = PPOConfig(),
+        mesh: Mesh | None = None,
+        num_envs: int = 1024,
+    ):
+        if num_envs % (config.num_minibatches) != 0:
+            raise ValueError("num_envs must divide into minibatches")
+        if mesh is not None and num_envs % (mesh.size * config.num_minibatches) != 0:
+            raise ValueError(
+                "num_envs must divide over devices × minibatches"
+            )
+        self.env = env
+        self.config = config
+        self.mesh = mesh
+        self.num_envs = num_envs
+        self.net = ActorCritic(env.act_dim, config.hidden)
+        self.tx = optax.chain(
+            optax.clip_by_global_norm(config.max_grad_norm),
+            optax.adam(config.lr),
+        )
+        self._build()
+
+    # ------------------------------------------------------------------ init
+    def init(self, seed: int = 0) -> TrainState:
+        key = jax.random.key(seed)
+        kp, _ = jax.random.split(key)
+        obs0 = jnp.zeros((1, self.env.obs_dim))
+        params = self.net.init(kp, obs0)
+        opt_state = self.tx.init(params)
+        keys = rng_mod.env_keys(rng_mod.root_key(seed), self.num_envs)
+        if self.mesh is not None:
+            sh = env_sharding(self.mesh)
+            env_state = jax.jit(jax.vmap(self.env.init), out_shardings=sh)(keys)
+        else:
+            env_state = jax.jit(jax.vmap(self.env.init))(keys)
+        obs = jax.jit(jax.vmap(self.env.obs_fn))(env_state)
+        return TrainState(
+            params=params,
+            opt_state=opt_state,
+            env_state=env_state,
+            obs=obs,
+            key=key,
+            update_count=jnp.zeros((), jnp.int32),
+        )
+
+    # ----------------------------------------------------------------- build
+    def _build(self):
+        cfg = self.config
+        env = self.env
+        net = self.net
+        tx = self.tx
+        n_shards = 1 if self.mesh is None else self.mesh.size
+        local_envs = self.num_envs // n_shards
+
+        def policy(params, obs, key):
+            mean, log_std, value = net.apply(params, obs)
+            action, log_prob = _gaussian_sample(mean, log_std, key)
+            return action, log_prob, value
+
+        rollout = make_batched_rollout(env, cfg.horizon, policy)
+
+        def pmean(x):
+            if self.mesh is None:
+                return x
+            return jax.lax.pmean(x, ENV_AXIS)
+
+        def loss_fn(params, mb, adv_stats):
+            obs, action, old_lp, old_v, adv, ret = mb
+            mean, log_std, value = net.apply(params, obs)
+            adv_mean, adv_std = adv_stats
+            adv_n = (adv - adv_mean) / (adv_std + 1e-8)
+            lp = _gaussian_log_prob(mean, log_std, action)
+            ratio = jnp.exp(lp - old_lp)
+            s1 = ratio * adv_n
+            s2 = jnp.clip(ratio, 1 - cfg.clip_eps, 1 + cfg.clip_eps) * adv_n
+            pg_loss = -jnp.mean(jnp.minimum(s1, s2))
+            v_clipped = old_v + jnp.clip(value - old_v, -cfg.clip_eps, cfg.clip_eps)
+            v_loss = 0.5 * jnp.mean(
+                jnp.maximum(jnp.square(value - ret), jnp.square(v_clipped - ret))
+            )
+            entropy = jnp.sum(log_std + 0.5 * jnp.log(2 * jnp.pi * jnp.e))
+            loss = pg_loss + cfg.vf_coef * v_loss - cfg.ent_coef * entropy
+            return loss, (pg_loss, v_loss, entropy)
+
+        def update_shard(params, opt_state, env_state, obs, key, shard_key):
+            env_state, obs, key, traj = rollout(params, env_state, obs, key)
+            _, _, last_value = net.apply(params, traj.last_obs)
+            adv, ret = gae(traj, last_value, cfg.gamma, cfg.gae_lambda)
+
+            adv_mean = pmean(jnp.mean(adv))
+            adv_sq = pmean(jnp.mean(jnp.square(adv)))
+            adv_std = jnp.sqrt(jnp.maximum(adv_sq - jnp.square(adv_mean), 1e-12))
+
+            # flatten (T, B_local) → (T·B_local,)
+            flat = jax.tree.map(
+                lambda x: x.reshape((-1,) + x.shape[2:]),
+                (traj.obs, traj.action, traj.log_prob, traj.value, adv, ret),
+            )
+            n = cfg.horizon * local_envs
+            mb_size = n // cfg.num_minibatches
+
+            def epoch(carry, ek):
+                params, opt_state = carry
+                perm = jax.random.permutation(ek, n)
+                shuffled = jax.tree.map(lambda x: x[perm], flat)
+
+                def minibatch(carry, mb_idx):
+                    params, opt_state = carry
+                    mb = jax.tree.map(
+                        lambda x: jax.lax.dynamic_slice_in_dim(
+                            x, mb_idx * mb_size, mb_size
+                        ),
+                        shuffled,
+                    )
+                    grads, aux = jax.grad(loss_fn, has_aux=True)(
+                        params, mb, (adv_mean, adv_std)
+                    )
+                    grads = jax.tree.map(pmean, grads)
+                    updates, opt_state = tx.update(grads, opt_state, params)
+                    params = optax.apply_updates(params, updates)
+                    return (params, opt_state), aux
+
+                (params, opt_state), auxs = jax.lax.scan(
+                    minibatch, (params, opt_state), jnp.arange(cfg.num_minibatches)
+                )
+                return (params, opt_state), auxs
+
+            epoch_keys = jax.random.split(shard_key, cfg.num_epochs)
+            (params, opt_state), auxs = jax.lax.scan(
+                epoch, (params, opt_state), epoch_keys
+            )
+            pg_loss, v_loss, entropy = jax.tree.map(jnp.mean, auxs)
+            metrics = {
+                "reward_per_step": pmean(jnp.mean(traj.reward)),
+                "episode_done_rate": pmean(jnp.mean(traj.done.astype(jnp.float32))),
+                "pg_loss": pmean(pg_loss),
+                "v_loss": pmean(v_loss),
+                "entropy": entropy,
+                "adv_std": adv_std,
+            }
+            return params, opt_state, env_state, obs, key, metrics
+
+        if self.mesh is None:
+
+            @functools.partial(jax.jit, donate_argnums=(0,))
+            def train_step(state: TrainState):
+                key, sk = jax.random.split(state.key)
+                params, opt_state, env_state, obs, _, metrics = update_shard(
+                    state.params, state.opt_state, state.env_state, state.obs,
+                    key, sk,
+                )
+                return (
+                    TrainState(
+                        params=params,
+                        opt_state=opt_state,
+                        env_state=env_state,
+                        obs=obs,
+                        key=key,
+                        update_count=state.update_count + 1,
+                    ),
+                    metrics,
+                )
+
+        else:
+            mesh = self.mesh
+
+            @functools.partial(
+                jax.shard_map,
+                mesh=mesh,
+                in_specs=(P(), P(), P(ENV_AXIS), P(ENV_AXIS), P()),
+                out_specs=(P(), P(), P(ENV_AXIS), P(ENV_AXIS), P(), P()),
+                check_vma=False,
+            )
+            def sharded_update(params, opt_state, env_state, obs, key):
+                idx = jax.lax.axis_index(ENV_AXIS)
+                key, sk = jax.random.split(key)
+                shard_key = jax.random.fold_in(sk, idx)
+                params, opt_state, env_state, obs, _, metrics = update_shard(
+                    params, opt_state, env_state, obs,
+                    jax.random.fold_in(key, idx), shard_key,
+                )
+                # grads were psum-averaged → params identical across shards
+                return params, opt_state, env_state, obs, key, metrics
+
+            @functools.partial(jax.jit, donate_argnums=(0,))
+            def train_step(state: TrainState):
+                params, opt_state, env_state, obs, key, metrics = sharded_update(
+                    state.params, state.opt_state, state.env_state, state.obs,
+                    state.key,
+                )
+                return (
+                    TrainState(
+                        params=params,
+                        opt_state=opt_state,
+                        env_state=env_state,
+                        obs=obs,
+                        key=key,
+                        update_count=state.update_count + 1,
+                    ),
+                    metrics,
+                )
+
+        self.train_step = train_step
+
+
+def dryrun_train_step(env: FnEnv, mesh: Mesh, num_envs: int) -> None:
+    """Tiny-shape full training step over the mesh — driver dry-run hook."""
+    cfg = PPOConfig(horizon=4, num_epochs=1, num_minibatches=1, hidden=(32, 32))
+    learner = PPOLearner(env, cfg, mesh=mesh, num_envs=num_envs)
+    state = learner.init(seed=0)
+    state, metrics = learner.train_step(state)
+    jax.block_until_ready(state.params)

@@ -1,0 +1,95 @@
+"""Impulse-space constraint solver: projected Gauss–Seidel over the Delassus
+operator.
+
+TPU-native replacement for Bullet's sequential-impulse (PGS) contact +
+constraint solver inside ``stepSimulation`` (SURVEY.md §2.3). Same
+mathematical family as the reference engine — velocity-level impulses,
+Baumgarte stabilization, box (two-direction) friction — but restructured for
+the hardware:
+
+- fixed row count and fixed iteration count (branchless, vmap-safe —
+  SURVEY.md §7.3 hard part #1);
+- the Delassus matrix ``A = J M⁻¹ Jᵀ`` is formed explicitly with the mass
+  matrix Cholesky factor reused from forward dynamics — batched matmuls on
+  the MXU rather than per-impulse recursions;
+- the Gauss–Seidel sweep maintains the residual incrementally (one axpy per
+  row), so a sweep costs nr² flops across the whole batch on the VPU.
+
+Row layout (static per env family):
+    [ equality rows (ne) | contact blocks (nc × [normal, t1, t2]) ]
+
+Equality rows cover the closed-chain rods and planar locks (reference
+behavior B3, ``createConstraint(JOINT_POINT2POINT)``) and monkey-bar grabs
+(behavior B8) via activity masks — constraint *activation* is data, never
+structure.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def delassus(L, J: jnp.ndarray, cfm: float) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """``A = J M⁻¹ Jᵀ + cfm·I`` and ``M⁻¹ Jᵀ`` (kept for the velocity update)."""
+    MinvJT = jax.scipy.linalg.cho_solve(L, J.T)              # (nv, nr)
+    A = J @ MinvJT
+    A = A + cfm * jnp.eye(A.shape[0], dtype=A.dtype)
+    return A, MinvJT
+
+
+def pgs_solve(
+    A: jnp.ndarray,        # (nr, nr) Delassus + regularization
+    c: jnp.ndarray,        # (nr,)  J v_free − target   (residual at λ = 0)
+    active: jnp.ndarray,   # (nr,)  1.0 = row participates
+    mu: jnp.ndarray,       # (nc,)  per-contact friction coefficient
+    ne: int,               # static: number of unbounded equality rows
+    nc: int,               # static: number of contact blocks
+    iters: int,            # static: fixed sweep count
+) -> jnp.ndarray:
+    """Return impulses λ (nr,). Complementarity: equality rows unbounded,
+    normal rows λ ≥ 0, friction rows |λ_t| ≤ μ λ_n (box friction, matching
+    Bullet's default two-direction friction model)."""
+    nr = ne + 3 * nc
+    diag = jnp.maximum(jnp.diagonal(A), 1e-9)
+
+    def sweep(_, carry):
+        lam, r = carry
+
+        def update(lam, r, i, new):
+            new = new * active[i]
+            d = new - lam[i]
+            lam = lam.at[i].set(new)
+            r = r + A[:, i] * d
+            return lam, r
+
+        for i in range(ne):
+            lam, r = update(lam, r, i, lam[i] - r[i] / diag[i])
+        for k in range(nc):
+            b = ne + 3 * k
+            lam, r = update(lam, r, b, jnp.maximum(0.0, lam[b] - r[b] / diag[b]))
+            bound = mu[k] * lam[b]
+            for t in (b + 1, b + 2):
+                lam, r = update(
+                    lam, r, t, jnp.clip(lam[t] - r[t] / diag[t], -bound, bound)
+                )
+        return lam, r
+
+    lam0 = jnp.zeros(nr, dtype=A.dtype)
+    lam, _ = jax.lax.fori_loop(0, iters, sweep, (lam0, c))
+    return lam
+
+
+def tangent_basis(n: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Two unit tangents orthogonal to normal ``n`` (…, 3), branchless.
+
+    Uses the revised-ONB construction (Duff et al.), stable for all normals
+    including n ≈ −z, so friction frames never degenerate under vmap.
+    """
+    nx, ny, nz = n[..., 0], n[..., 1], n[..., 2]
+    sign = jnp.where(nz >= 0.0, 1.0, -1.0)
+    a = -1.0 / (sign + nz)
+    b = nx * ny * a
+    t1 = jnp.stack([1.0 + sign * nx * nx * a, sign * b, -sign * nx], axis=-1)
+    t2 = jnp.stack([b, sign + ny * ny * a, -ny], axis=-1)
+    return t1, t2

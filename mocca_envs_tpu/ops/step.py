@@ -1,0 +1,256 @@
+"""The assembled physics step: one pure function, compiled once.
+
+TPU-native replacement for the reference's entire hot loop — the
+``scene.global_step()`` → ``sim_frame_skip × stepSimulation()`` pipeline of
+SURVEY.md §3.3, which in the reference crosses the Python↔C++ boundary many
+times per control step. Here the whole three-rate hierarchy (behavior B1)
+is a single jitted function over pytree state:
+
+    control step
+      └─ llc frame × llc_frames:   actuation recomputed (PD / torque)
+           └─ substep × sim_substeps:
+                FK → collide → bias/mass (Newton–Euler + CRBA)
+                → impulse PGS (contacts ∪ equality ∪ grabs)
+                → semi-implicit integrate
+
+Shapes are for ONE env; batch with ``vmap``, shard with ``shard_map``
+(parallel/). Everything static lives in closures (model, EngineConfig,
+ConstraintSpec); everything dynamic (state, scene, grab anchors, curriculum)
+is data.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+from flax import struct
+
+from mocca_envs_tpu.core import quat as quat_ops
+from mocca_envs_tpu.models.schema import RobotModel
+from mocca_envs_tpu.ops import collide as collide_mod
+from mocca_envs_tpu.ops.dynamics import forward_dynamics
+from mocca_envs_tpu.ops.integrate import integrate
+from mocca_envs_tpu.ops.kinematics import (
+    FrameData,
+    forward_kinematics,
+    joint_q,
+    joint_qd,
+    point_jacobian,
+)
+from mocca_envs_tpu.ops.solver import delassus, pgs_solve, tangent_basis
+from mocca_envs_tpu.terrain.scene import Scene
+from mocca_envs_tpu.utils.config import EngineConfig
+
+
+@dataclasses.dataclass(frozen=True)
+class ConstraintSpec:
+    """Static equality-constraint structure for an env family.
+
+    - ``p2p_*``: permanent point-to-point rods between two robot links —
+      Cassie's achilles/plantar four-bar linkages (reference behavior B3,
+      ``createConstraint(JOINT_POINT2POINT)`` — SURVEY.md §2.2/2.3).
+    - ``planar``: locks base y-translation, roll and yaw for the 2D env
+      variants (Walker2D/Crab2D/Cassie2D).
+    - ``num_grabs``: world-anchor constraints whose activation and anchor
+      are runtime data — monkey-bar grabs (behavior B8).
+    """
+
+    p2p_link_a: tuple = ()
+    p2p_link_b: tuple = ()
+    p2p_anchor_a: tuple = ()   # local points on link_a, tuple of 3-tuples
+    p2p_anchor_b: tuple = ()
+    planar: bool = False
+    num_grabs: int = 0
+    grab_links: tuple = ()
+    grab_anchors: tuple = ()   # local palm point per grab
+
+    @property
+    def num_p2p(self) -> int:
+        return len(self.p2p_link_a)
+
+    @property
+    def ne(self) -> int:
+        return 3 * self.num_p2p + (3 if self.planar else 0) + 3 * self.num_grabs
+
+
+class StepInfo(struct.PyTreeNode):
+    """Per-step diagnostics surfaced to tasks and metrics.
+
+    Replaces the reference's post-step pybullet queries: ``getContactPoints``
+    for foot flags / termination (B4, B5) and the step-hit predicate's
+    foot-force test (B7).
+    """
+
+    contacts: collide_mod.Contacts
+    normal_impulse: jnp.ndarray     # (ns,) per-sphere normal impulse
+    foot_contact: jnp.ndarray       # (nfeet,) binary flags
+    link_contact: jnp.ndarray       # (nl,) binary flags
+
+
+def _zero_info(model: RobotModel) -> StepInfo:
+    ns = model.ns
+    z = jnp.zeros
+    contacts = collide_mod.Contacts(
+        pos=z((ns, 3)), normal=z((ns, 3)), depth=jnp.full((ns,), -1e9),
+        link=model.sph_link, active=z((ns,)),
+    )
+    return StepInfo(
+        contacts=contacts,
+        normal_impulse=z((ns,)),
+        foot_contact=z((len(model.foot_links) or 1,)),
+        link_contact=z((model.nl,)),
+    )
+
+
+def make_substep(
+    model: RobotModel,
+    config: EngineConfig,
+    constraints: ConstraintSpec = ConstraintSpec(),
+):
+    """Build the single-substep function ``(q, qd, tau_j, scene, grabs) → …``."""
+    gravity = jnp.asarray(config.gravity, dtype=jnp.float32)
+    dt = config.dt
+    ns = model.ns
+    ne = constraints.ne
+
+    def substep(q, qd, tau_joint, scene: Scene, grab_active=None, grab_target=None):
+        fd = forward_kinematics(model, q, qd)
+        contacts = collide_mod.collide(model, fd, scene, config.contact_margin)
+
+        # passive joint forces: viscous damping + Cassie spring joints (B3)
+        qj = joint_q(model, q)
+        qdj = joint_qd(model, qd)
+        tau_passive = -model.damping * qdj - model.stiffness * (qj - model.spring_ref)
+        tau_j = tau_joint + tau_passive
+        if model.floating:
+            tau = jnp.concatenate([jnp.zeros(6, dtype=q.dtype), tau_j])
+        else:
+            tau = tau_j
+
+        qdd_free, L = forward_dynamics(model, fd, qd, tau, gravity)
+        v_free = qd + dt * qdd_free
+
+        # ---------------- constraint rows (static layout: equality | contacts)
+        rows_J, rows_tgt, rows_act = [], [], []
+
+        for k in range(constraints.num_p2p):
+            la, lb = constraints.p2p_link_a[k], constraints.p2p_link_b[k]
+            aa = jnp.asarray(constraints.p2p_anchor_a[k], dtype=q.dtype)
+            ab = jnp.asarray(constraints.p2p_anchor_b[k], dtype=q.dtype)
+            xa = fd.pos[la] + fd.rot[la] @ aa
+            xb = fd.pos[lb] + fd.rot[lb] @ ab
+            Jk = point_jacobian(model, fd, la, xa) - point_jacobian(model, fd, lb, xb)
+            rows_J.append(Jk)
+            rows_tgt.append(-(config.baumgarte / dt) * (xa - xb))
+            rows_act.append(jnp.ones(3, dtype=q.dtype))
+
+        if constraints.planar:
+            nv = model.nv
+            Jp = jnp.zeros((3, nv), dtype=q.dtype)
+            Jp = Jp.at[0, 1].set(1.0)   # base linear y
+            Jp = Jp.at[1, 3].set(1.0)   # base angular x (roll rate)
+            Jp = Jp.at[2, 5].set(1.0)   # base angular z (yaw rate)
+            rpy = quat_ops.to_rpy(q[3:7])
+            err = jnp.stack([q[1], rpy[0], rpy[2]])
+            rows_J.append(Jp)
+            rows_tgt.append(-(config.baumgarte / dt) * err)
+            rows_act.append(jnp.ones(3, dtype=q.dtype))
+
+        for g in range(constraints.num_grabs):
+            lg = constraints.grab_links[g]
+            ag = jnp.asarray(constraints.grab_anchors[g], dtype=q.dtype)
+            xg = fd.pos[lg] + fd.rot[lg] @ ag
+            Jg = point_jacobian(model, fd, lg, xg)
+            err = xg - grab_target[g]
+            rows_J.append(Jg)
+            rows_tgt.append(-(config.baumgarte / dt) * err)
+            rows_act.append(jnp.full((3,), grab_active[g], dtype=q.dtype))
+
+        # contact rows, one block per collision sphere
+        Jc = jax.vmap(lambda l, x: point_jacobian(model, fd, l, x))(
+            contacts.link, contacts.pos
+        )                                                    # (ns, 3, nv)
+        t1, t2 = tangent_basis(contacts.normal)
+        Jn = jnp.einsum("si,sik->sk", contacts.normal, Jc)   # (ns, nv)
+        Jt1 = jnp.einsum("si,sik->sk", t1, Jc)
+        Jt2 = jnp.einsum("si,sik->sk", t2, Jc)
+        # Penetrating: Baumgarte push-out (capped). Separated-but-within-margin
+        # rows must still permit approach up to closing the gap this substep —
+        # otherwise contacts act at a distance and bodies hover at the margin.
+        push = jnp.minimum(
+            (config.baumgarte / dt) * jnp.maximum(contacts.depth - config.slop, 0.0),
+            config.max_push_vel,
+        ) - jnp.maximum(-contacts.depth, 0.0) / dt
+        Jcon = jnp.stack([Jn, Jt1, Jt2], axis=1).reshape(3 * ns, -1)
+        tgt_con = jnp.stack(
+            [push, jnp.zeros_like(push), jnp.zeros_like(push)], axis=1
+        ).reshape(-1)
+        act_con = jnp.repeat(contacts.active, 3)
+
+        J = jnp.concatenate(rows_J + [Jcon], axis=0) if rows_J else Jcon
+        target = jnp.concatenate(rows_tgt + [tgt_con]) if rows_tgt else tgt_con
+        active = jnp.concatenate(rows_act + [act_con]) if rows_act else act_con
+
+        A, MinvJT = delassus(L, J, config.cfm)
+        c = J @ v_free - target
+        mu = jnp.full((ns,), scene.friction, dtype=q.dtype)
+        lam = pgs_solve(A, c, active, mu, ne, ns, config.solver_iters)
+
+        qd_new = v_free + MinvJT @ lam
+        q_new = integrate(model, q, qd_new, dt)
+
+        normal_impulse = lam[ne:].reshape(ns, 3)[:, 0]
+        info = StepInfo(
+            contacts=contacts,
+            normal_impulse=normal_impulse,
+            foot_contact=collide_mod.foot_contact_flags(model, contacts),
+            link_contact=collide_mod.link_contact_mask(model, contacts),
+        )
+        return q_new, qd_new, info
+
+    return substep
+
+
+def make_control_step(
+    model: RobotModel,
+    config: EngineConfig,
+    constraints: ConstraintSpec = ConstraintSpec(),
+    actuation: Callable | None = None,
+):
+    """Build the control-rate step: the function the task envs drive.
+
+    ``actuation(q, qd, action) → tau_joint`` runs at the llc rate (reference
+    behavior B1/B3: Cassie's PD servo recomputes each llc frame; walker
+    torques are constant across the control step — B2). Returns
+    ``(q', qd', StepInfo)`` with diagnostics from the LAST substep, matching
+    when the reference queries contacts (§3.3: after ``global_step``).
+    """
+    substep = make_substep(model, config, constraints)
+    if actuation is None:
+        actuation = lambda q, qd, a: a  # raw joint torques
+
+    def control_step(q, qd, action, scene: Scene, grab_active=None, grab_target=None):
+        def llc_frame(carry, _):
+            q, qd, _info = carry
+            tau_j = actuation(q, qd, action)
+
+            def sim(carry2, _):
+                q, qd, _ = carry2
+                q, qd, info = substep(q, qd, tau_j, scene, grab_active, grab_target)
+                return (q, qd, info), None
+
+            (q, qd, info), _ = jax.lax.scan(
+                sim, (q, qd, _info), None, length=config.sim_substeps
+            )
+            return (q, qd, info), None
+
+        init = (q, qd, _zero_info(model))
+        (q, qd, info), _ = jax.lax.scan(
+            llc_frame, init, None, length=config.llc_frames
+        )
+        return q, qd, info
+
+    return control_step

@@ -1,0 +1,144 @@
+"""Scene: the static world the robot collides with, as dynamic pytree data.
+
+TPU-native replacement for the reference's scene objects
+(``mocca_envs/bullet_objects.py``: ``Plank``/``Pillar``/``LargePlank``/
+``HeightField``/``MonkeyBar`` and ``bullet_utils.py::StadiumScene`` ground
+plane — SURVEY.md §2.1 C7/C8). In Bullet these are separate collision bodies
+repositioned by ``resetBasePositionAndOrientation``; here the whole scene is
+ONE pytree of arrays that lives in env state, so stone layouts vary per env
+slot in a vmapped batch, and the curriculum regenerates them at reset with no
+recompilation (SURVEY.md §3.5).
+
+Feature switches (``has_*``) are static fields: an env family compiled for
+flat ground contains zero box-narrowphase code, a stepper env contains no
+heightfield sampling, etc.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+from flax import struct
+
+from mocca_envs_tpu.core import quat as quat_ops
+
+
+class Scene(struct.PyTreeNode):
+    # static switches — select compiled collision paths per env family
+    has_ground: bool = struct.field(pytree_node=False, default=True)
+    has_stones: bool = struct.field(pytree_node=False, default=False)
+    has_hf: bool = struct.field(pytree_node=False, default=False)
+
+    # infinite ground plane z = ground_z
+    ground_z: jnp.ndarray = struct.field(default_factory=lambda: jnp.zeros(()))
+
+    # oriented stone boxes (stepping stones: Plank/Pillar tops)
+    stone_pos: jnp.ndarray | None = None     # (K, 3) box centers
+    stone_quat: jnp.ndarray | None = None    # (K, 4) wxyz
+    stone_half: jnp.ndarray | None = None    # (K, 3) half extents
+    stone_active: jnp.ndarray | None = None  # (K,) 1.0 = solid
+
+    # heightfield grid (uneven terrain)
+    hf_height: jnp.ndarray | None = None     # (H, W)
+    hf_xy0: jnp.ndarray | None = None        # (2,) world xy of grid[0, 0]
+    hf_cell: jnp.ndarray | None = None       # () cell size [m]
+
+    friction: jnp.ndarray = struct.field(default_factory=lambda: jnp.asarray(0.8))
+
+
+def flat(ground_z: float = 0.0, friction: float = 0.8) -> Scene:
+    """Flat infinite plane — the StadiumScene analog (SURVEY.md C8)."""
+    return Scene(
+        has_ground=True,
+        ground_z=jnp.asarray(ground_z, dtype=jnp.float32),
+        friction=jnp.asarray(friction, dtype=jnp.float32),
+    )
+
+
+def with_stones(
+    stone_pos: jnp.ndarray,
+    stone_quat: jnp.ndarray,
+    stone_half: jnp.ndarray,
+    stone_active: jnp.ndarray | None = None,
+    ground_z: float = -1e3,
+    friction: float = 0.8,
+) -> Scene:
+    """Stepping-stone world: union of oriented boxes, ground far below.
+
+    The deep ground plane stands in for "falling between stones ends the
+    episode" (reference ``Walker3DStepperEnv`` termination, behavior B7).
+    """
+    K = stone_pos.shape[0]
+    if stone_active is None:
+        stone_active = jnp.ones((K,), dtype=stone_pos.dtype)
+    return Scene(
+        has_ground=True,
+        has_stones=True,
+        ground_z=jnp.asarray(ground_z, dtype=jnp.float32),
+        stone_pos=stone_pos,
+        stone_quat=stone_quat,
+        stone_half=stone_half,
+        stone_active=stone_active,
+        friction=jnp.asarray(friction, dtype=jnp.float32),
+    )
+
+
+def hf_sample(scene: Scene, xy: jnp.ndarray) -> jnp.ndarray:
+    """Bilinear heightfield sample at world ``xy`` (…, 2) → height (…,).
+
+    The on-device analog of Bullet's GEOM_HEIGHTFIELD narrowphase
+    (SURVEY.md §2.3); clamped at borders.
+    """
+    H, W = scene.hf_height.shape
+    uv = (xy - scene.hf_xy0) / scene.hf_cell
+    u = jnp.clip(uv[..., 0], 0.0, H - 1.001)
+    v = jnp.clip(uv[..., 1], 0.0, W - 1.001)
+    i0 = jnp.floor(u).astype(jnp.int32)
+    j0 = jnp.floor(v).astype(jnp.int32)
+    fu = u - i0
+    fv = v - j0
+    h00 = scene.hf_height[i0, j0]
+    h10 = scene.hf_height[i0 + 1, j0]
+    h01 = scene.hf_height[i0, j0 + 1]
+    h11 = scene.hf_height[i0 + 1, j0 + 1]
+    return (
+        h00 * (1 - fu) * (1 - fv)
+        + h10 * fu * (1 - fv)
+        + h01 * (1 - fu) * fv
+        + h11 * fu * fv
+    )
+
+
+def hf_normal(scene: Scene, xy: jnp.ndarray, eps: float = 0.05) -> jnp.ndarray:
+    """Surface normal from central differences of the height function."""
+    ex = jnp.array([eps, 0.0], dtype=xy.dtype)
+    ey = jnp.array([0.0, eps], dtype=xy.dtype)
+    dhdx = (hf_sample(scene, xy + ex) - hf_sample(scene, xy - ex)) / (2 * eps)
+    dhdy = (hf_sample(scene, xy + ey) - hf_sample(scene, xy - ey)) / (2 * eps)
+    n = jnp.stack([-dhdx, -dhdy, jnp.ones_like(dhdx)], axis=-1)
+    return n / jnp.linalg.norm(n, axis=-1, keepdims=True)
+
+
+def sphere_box_depth(center, radius, box_pos, box_quat, box_half):
+    """Sphere vs one oriented box: (depth, normal, contact_point), branchless.
+
+    Handles both the outside (closest-point) and fully-inside (min-face
+    push-out) cases with ``where`` selects so it vectorizes over stones.
+    """
+    d = quat_ops.inv_rotate(box_quat, center - box_pos)      # center in box frame
+    closest = jnp.clip(d, -box_half, box_half)
+    delta = d - closest
+    dist = jnp.linalg.norm(delta)
+    outside = dist > 1e-9
+    n_out = delta / jnp.maximum(dist, 1e-9)
+    # inside: push out through nearest face
+    face_d = box_half - jnp.abs(d)                            # (3,)
+    k = jnp.argmin(face_d)
+    n_in = jnp.sign(d) * jnp.eye(3, dtype=d.dtype)[k]
+    depth_out = radius - dist
+    depth_in = radius + face_d[k]
+    n_local = jnp.where(outside, n_out, n_in)
+    depth = jnp.where(outside, depth_out, depth_in)
+    n_world = quat_ops.rotate(box_quat, n_local)
+    surf_local = jnp.where(outside, closest, d + n_local * face_d[k])
+    p_world = box_pos + quat_ops.rotate(box_quat, surf_local)
+    return depth, n_world, p_world

@@ -1,0 +1,45 @@
+"""Engine and environment configuration.
+
+Reference mapping (SURVEY.md §5.6): the reference configures everything via
+constructor kwargs and class attributes (``EnvBase.__init__``, timing class
+attrs ``control_step`` / ``llc_frame_skip`` / ``sim_frame_skip``). Here that
+splits into:
+
+- :class:`EngineConfig` — frozen, hashable, *static*: anything that changes
+  compiled code shape (rates, solver iterations). Env factories close over
+  it, so changing it triggers exactly one recompile, by design.
+- ``EnvParams`` (per task module) — dynamic pytree data: reward weights,
+  curriculum stage, sampling ranges. Vmappable, so curricula can vary per
+  env slot with NO recompile (SURVEY.md §3.5, §7.3 hard part #4).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+
+@dataclasses.dataclass(frozen=True)
+class EngineConfig:
+    """Static physics-step configuration.
+
+    Timing reproduces the reference's three-rate hierarchy (behavior B1,
+    ``env_base.py::EnvBase`` — SURVEY.md §2.2): policy acts once per control
+    step; actuation (PD for Cassie) recomputes every ``llc`` frame; physics
+    integrates ``sim_substeps`` times per llc frame at ``dt`` seconds.
+    Walker default: 1 llc × 4 substeps at 240 Hz ⇒ 60 Hz control [K-med].
+    """
+
+    dt: float = 1.0 / 240.0
+    sim_substeps: int = 4
+    llc_frames: int = 1
+    solver_iters: int = 12
+    baumgarte: float = 0.2          # ERP-style position correction factor
+    slop: float = 2e-3              # penetration allowed before correction [m]
+    max_push_vel: float = 1.0       # cap on correction velocity [m/s]
+    cfm: float = 1e-6               # constraint force mixing (A-diag reg.)
+    contact_margin: float = 0.02    # rows activate within this distance [m]
+    gravity: tuple = (0.0, 0.0, -9.8)  # pybullet default, SURVEY.md §2.3
+
+    @property
+    def control_dt(self) -> float:
+        return self.dt * self.sim_substeps * self.llc_frames

@@ -1,0 +1,27 @@
+"""Test harness configuration.
+
+Per SURVEY.md §4.4 ("distributed-without-a-cluster"): tests run on CPU with 8
+virtual devices so mesh/collective tests exercise real shardings without TPU
+hardware. Must run before the first ``import jax`` anywhere in the test
+process.
+"""
+
+import os
+
+# Force CPU. The box's sitecustomize imports jax and registers an axon TPU
+# backend before conftest runs, and jax snapshots JAX_PLATFORMS at import —
+# so env-var edits here are too late for THIS process (they still matter for
+# subprocesses spawned by tests). Update jax.config directly instead; this
+# works any time before first backend use. Tests must never claim the
+# (single, exclusively-locked) TPU.
+os.environ["JAX_PLATFORMS"] = "cpu"
+_flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in _flags:
+    os.environ["XLA_FLAGS"] = (
+        _flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_num_cpu_devices", 8)

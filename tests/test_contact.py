@@ -1,0 +1,150 @@
+"""Contact-solver gates (SURVEY.md §4.1): LCP conditions on drops, resting
+stability, friction, and stone boxes."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from mocca_envs_tpu.ops.step import make_substep
+from mocca_envs_tpu.terrain import scene as scene_mod
+from mocca_envs_tpu.utils.config import EngineConfig
+
+from tests.models_util import ball, free_q, free_qd, hopper
+
+
+CFG = EngineConfig(solver_iters=20)
+
+
+def _run(model, substep, q, qd, scene, n, tau=None):
+    tau_j = jnp.zeros(model.nj) if tau is None else tau
+
+    def body(carry, _):
+        q, qd = carry
+        q, qd, info = substep(q, qd, tau_j, scene)
+        return (q, qd), None
+
+    (q, qd), _ = jax.lax.scan(jax.jit(body), (q, qd), None, length=n)
+    return q, qd
+
+
+def test_ball_drop_rests_on_plane():
+    model = ball(radius=0.1)
+    substep = make_substep(model, CFG)
+    scene = scene_mod.flat()
+    q = jnp.asarray(free_q(pos=(0, 0, 0.5)))
+    qd = jnp.asarray(free_qd())
+    q, qd = _run(model, substep, q, qd, scene, 400)
+    # resting height = radius (within slop), zero velocity
+    assert abs(float(q[2]) - 0.1) < 5e-3, q[2]
+    np.testing.assert_allclose(qd[0:3], np.zeros(3), atol=1e-2)
+
+
+def test_ball_never_penetrates_deeply():
+    model = ball(radius=0.1)
+    substep = make_substep(model, CFG)
+    scene = scene_mod.flat()
+    q = jnp.asarray(free_q(pos=(0, 0, 1.0)))
+    qd = jnp.asarray(free_qd())
+    tau_j = jnp.zeros(model.nj)
+
+    def body(carry, _):
+        q, qd = carry
+        q, qd, info = substep(q, qd, tau_j, scene)
+        return (q, qd), q[2]
+
+    (q, qd), zs = jax.lax.scan(jax.jit(body), (q, qd), None, length=600)
+    assert float(jnp.min(zs)) > 0.1 - 0.02, float(jnp.min(zs))
+
+
+def test_friction_stops_sliding_ball():
+    model = ball(radius=0.1)
+    substep = make_substep(model, CFG)
+    scene = scene_mod.flat(friction=0.8)
+    q = jnp.asarray(free_q(pos=(0, 0, 0.1)))
+    qd = jnp.asarray(free_qd(lin=(2.0, 0, 0)))
+    q, qd = _run(model, substep, q, qd, scene, 500)
+    # rolling resistance isn't modeled, so the ball ends up rolling without
+    # slipping: contact-point velocity v + ω×r ≈ 0
+    v_contact = qd[0:3] + jnp.cross(qd[3:6], jnp.array([0.0, 0.0, -0.1]))
+    np.testing.assert_allclose(v_contact, np.zeros(3), atol=5e-2)
+
+
+def test_frictionless_ball_keeps_sliding():
+    model = ball(radius=0.1)
+    substep = make_substep(model, CFG)
+    scene = scene_mod.flat(friction=0.0)
+    q = jnp.asarray(free_q(pos=(0, 0, 0.1)))
+    qd = jnp.asarray(free_qd(lin=(2.0, 0, 0)))
+    q, qd = _run(model, substep, q, qd, scene, 200)
+    np.testing.assert_allclose(qd[0], 2.0, rtol=5e-2)
+
+
+def test_hopper_settles_upright():
+    model = hopper()
+    substep = make_substep(model, CFG)
+    scene = scene_mod.flat()
+    q = jnp.asarray(free_q(pos=(0, 0, 0.62), joints=(0.0,)))
+    qd = jnp.asarray(free_qd(joints=(0.0,)))
+    q, qd = _run(model, substep, q, qd, scene, 600)
+    assert jnp.all(jnp.isfinite(q)), q
+    # foot sphere (leg tip) should rest at about its radius above ground
+    assert float(q[2]) > 0.4, q
+
+
+def test_ball_rests_on_stone_box():
+    model = ball(radius=0.05)
+    substep = make_substep(model, CFG)
+    scene = scene_mod.with_stones(
+        stone_pos=jnp.array([[0.0, 0.0, -0.1]]),
+        stone_quat=jnp.array([[1.0, 0.0, 0.0, 0.0]]),
+        stone_half=jnp.array([[0.25, 0.25, 0.1]]),
+    )
+    q = jnp.asarray(free_q(pos=(0.05, -0.03, 0.4)))
+    qd = jnp.asarray(free_qd())
+    q, qd = _run(model, substep, q, qd, scene, 400)
+    # rests on the box top (z=0) at sphere radius
+    assert abs(float(q[2]) - 0.05) < 6e-3, q[2]
+
+
+def test_ball_falls_off_stone_edge():
+    model = ball(radius=0.05)
+    substep = make_substep(model, CFG)
+    scene = scene_mod.with_stones(
+        stone_pos=jnp.array([[0.0, 0.0, -0.1]]),
+        stone_quat=jnp.array([[1.0, 0.0, 0.0, 0.0]]),
+        stone_half=jnp.array([[0.1, 0.1, 0.1]]),
+        ground_z=-3.0,
+    )
+    q = jnp.asarray(free_q(pos=(0.5, 0.0, 0.3)))  # beside the stone
+    qd = jnp.asarray(free_qd())
+    q, qd = _run(model, substep, q, qd, scene, 400)
+    assert float(q[2]) < -2.0, q[2]  # fell to the deep ground
+
+
+def test_energy_dissipates_not_gains():
+    model = ball(radius=0.1)
+    substep = make_substep(model, CFG)
+    scene = scene_mod.flat()
+    q = jnp.asarray(free_q(pos=(0, 0, 0.6)))
+    qd = jnp.asarray(free_qd())
+    tau_j = jnp.zeros(model.nj)
+
+    m = float(model.mass[0])
+    inertia0 = np.asarray(model.inertia[0])
+
+    def energy(q, qd):
+        ke = 0.5 * m * jnp.sum(qd[0:3] ** 2) + 0.5 * jnp.sum(
+            qd[3:6] * (inertia0 @ qd[3:6])
+        )
+        pe = m * 9.8 * q[2]
+        return ke + pe
+
+    e0 = energy(q, qd)
+
+    def body(carry, _):
+        q, qd = carry
+        q, qd, _ = substep(q, qd, tau_j, scene)
+        return (q, qd), energy(q, qd)
+
+    _, es = jax.lax.scan(jax.jit(body), (q, qd), None, length=500)
+    assert float(jnp.max(es)) <= float(e0) * 1.01 + 1e-3

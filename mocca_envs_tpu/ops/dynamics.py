@@ -27,6 +27,7 @@ import jax
 import jax.numpy as jnp
 
 from mocca_envs_tpu.models.schema import PRISMATIC, REVOLUTE, RobotModel
+from mocca_envs_tpu.ops import linalg
 from mocca_envs_tpu.ops.kinematics import (
     FrameData,
     joint_qd,
@@ -119,13 +120,31 @@ def forward_dynamics(
     qd: jnp.ndarray,
     tau: jnp.ndarray,
     gravity: jnp.ndarray = GRAVITY,
+    joint_diag: jnp.ndarray | None = None,
 ):
-    """Unconstrained ``q̈`` plus the Cholesky factor of M (reused by solver).
+    """Unconstrained ``q̈`` plus the explicit inverse mass matrix.
 
-    Returns ``(qdd_free, chol_M)``.
+    Returns ``(qdd_free, Minv)``. The explicit inverse (via the unrolled
+    Cholesky in ops/linalg.py — XLA's batched factorization is ~30× slower
+    at this size on TPU) turns every downstream M⁻¹ application (Delassus
+    build, impulse map) into a plain MXU matmul.
+
+    ``joint_diag`` adds an extra diagonal on the joint block of M — the
+    implicit (first-order) treatment of joint dampers and springs,
+    ``dt·c + dt²·k``. Cassie's leaf springs (k ≈ 1250–1500 N·m/rad on
+    gram-scale links — behavior B3) are explicit-unstable at any practical
+    dt; folding them into the system matrix is unconditionally stable for
+    the diagonal part, the same device MuJoCo's implicit damping uses.
     """
     M = mass_matrix(model, fd)
     b = bias_forces(model, fd, qd, gravity)
-    L = jax.scipy.linalg.cho_factor(M, lower=True)
-    qdd = jax.scipy.linalg.cho_solve(L, tau - b)
-    return qdd, L
+    if joint_diag is not None:
+        if model.floating:
+            extra = jnp.concatenate([jnp.zeros(6, dtype=M.dtype), joint_diag])
+        else:
+            extra = joint_diag
+        M = M + jnp.diag(extra)
+    L = linalg.chol_factor(M)
+    Minv = linalg.chol_inverse(L)
+    qdd = Minv @ (tau - b)
+    return qdd, Minv

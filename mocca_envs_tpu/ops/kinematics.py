@@ -61,60 +61,58 @@ def base_vel(model: RobotModel, qd: jnp.ndarray):
     return z, z
 
 
-def _axis_angle_mat(axis: jnp.ndarray, angle: jnp.ndarray) -> jnp.ndarray:
-    """Rodrigues rotation matrix about unit ``axis`` by ``angle``."""
-    c, s = jnp.cos(angle), jnp.sin(angle)
-    K = skew(axis)
-    return (
-        c * jnp.eye(3, dtype=axis.dtype)
-        + s * K
-        + (1.0 - c) * jnp.outer(axis, axis)
-    )
-
-
 def forward_kinematics(model: RobotModel, q: jnp.ndarray, qd: jnp.ndarray) -> FrameData:
-    """Compute all world-frame link states from generalized coordinates."""
+    """Compute all world-frame link states from generalized coordinates.
+
+    The sequential parent→child chain carries QUATERNIONS, not matrices:
+    under ``vmap`` a per-link 3×3 matmul chain lowers to ~2·nl tiny batched
+    dot_generals that cannot fuse (measured ~3.8 ms at B=4096 on TPU v5
+    lite), while quaternion composition is a pure elementwise chain the
+    compiler fuses into a handful of VPU kernels. Rotation matrices are
+    materialized once, vectorized over all links, at the end.
+    """
     qj = joint_q(model, q)
     qdj = joint_qd(model, qd)
     bp, bq = base_pose(model, q)
     bv, bw = base_vel(model, qd)
 
     pos = [bp]
-    rot = [quat_ops.to_matrix(bq)]
+    quats = [bq]
     omega = [bw]
     vel = [bv]
     jp_list, ja_list = [], []
-    jquat_mats = quat_ops.to_matrix(model.joint_quat)  # (nj, 3, 3)
 
     for i in range(1, model.nl):
         j = i - 1
         p = model.parent[i]
-        Rp, pp = rot[p], pos[p]
+        qp, pp = quats[p], pos[p]
         wp, vp = omega[p], vel[p]
-        R_pre = Rp @ jquat_mats[j]
-        a_w = R_pre @ model.joint_axis[j]
-        anchor = pp + Rp @ model.joint_pos[j]
+        q_pre = quat_ops.mul(qp, model.joint_quat[j])
+        a_w = quat_ops.rotate(q_pre, model.joint_axis[j])
+        anchor = pp + quat_ops.rotate(qp, model.joint_pos[j])
         if model.jtype[j] == REVOLUTE:
-            R_i = R_pre @ _axis_angle_mat(model.joint_axis[j], qj[j])
+            q_i = quat_ops.mul(
+                q_pre, quat_ops.from_axis_angle(model.joint_axis[j], qj[j])
+            )
             p_i = anchor
             w_i = wp + a_w * qdj[j]
             v_i = vp + jnp.cross(wp, p_i - pp)
         elif model.jtype[j] == PRISMATIC:
-            R_i = R_pre
+            q_i = q_pre
             p_i = anchor + a_w * qj[j]
             w_i = wp
             v_i = vp + jnp.cross(wp, p_i - pp) + a_w * qdj[j]
         else:  # pragma: no cover - fixed joints are folded at build time
             raise ValueError("fixed joint reached the hot path")
         pos.append(p_i)
-        rot.append(R_i)
+        quats.append(q_i)
         omega.append(w_i)
         vel.append(v_i)
         jp_list.append(anchor)
         ja_list.append(a_w)
 
     pos = jnp.stack(pos)
-    rot = jnp.stack(rot)
+    rot = quat_ops.to_matrix(jnp.stack(quats))   # one vectorized op, all links
     omega = jnp.stack(omega)
     vel = jnp.stack(vel)
     com_w = pos + jnp.einsum("lij,lj->li", rot, model.com)

@@ -30,9 +30,13 @@ import jax
 import jax.numpy as jnp
 
 
-def delassus(L, J: jnp.ndarray, cfm: float) -> tuple[jnp.ndarray, jnp.ndarray]:
-    """``A = J M⁻¹ Jᵀ + cfm·I`` and ``M⁻¹ Jᵀ`` (kept for the velocity update)."""
-    MinvJT = jax.scipy.linalg.cho_solve(L, J.T)              # (nv, nr)
+def delassus(Minv: jnp.ndarray, J: jnp.ndarray, cfm: float) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """``A = J M⁻¹ Jᵀ + cfm·I`` and ``M⁻¹ Jᵀ`` (kept for the velocity update).
+
+    ``Minv`` is the explicit inverse from ops/dynamics.forward_dynamics, so
+    both products are single MXU matmuls under vmap.
+    """
+    MinvJT = Minv @ J.T                                      # (nv, nr)
     A = J @ MinvJT
     A = A + cfm * jnp.eye(A.shape[0], dtype=A.dtype)
     return A, MinvJT

@@ -130,7 +130,11 @@ def make_substep(
         else:
             tau = tau_j
 
-        qdd_free, L = forward_dynamics(model, fd, qd, tau, gravity)
+        # implicit spring/damper diagonal (see dynamics.forward_dynamics)
+        joint_diag = dt * (model.damping + dt * model.stiffness)
+        qdd_free, Minv = forward_dynamics(
+            model, fd, qd, tau, gravity, joint_diag=joint_diag
+        )
         v_free = qd + dt * qdd_free
 
         # ---------------- constraint rows (static layout: equality | contacts)
@@ -194,7 +198,7 @@ def make_substep(
         target = jnp.concatenate(rows_tgt + [tgt_con]) if rows_tgt else tgt_con
         active = jnp.concatenate(rows_act + [act_con]) if rows_act else act_con
 
-        A, MinvJT = delassus(L, J, config.cfm)
+        A, MinvJT = delassus(Minv, J, config.cfm)
         c = J @ v_free - target
         mu = jnp.full((ns,), scene.friction, dtype=q.dtype)
         lam = pgs_solve(A, c, active, mu, ne, ns, config.solver_iters)

@@ -1,0 +1,243 @@
+"""Walker3DStepperEnv — stepping-stone curriculum locomotion (ALLSTEPS).
+
+Reconstructs ``mocca_envs/env_locomotion.py::Walker3DStepperEnv`` (SURVEY.md
+§2.1 C3; behaviors B6 stone generation, B7 step-advance state machine;
+BASELINE.json config 4: batched 8192 with on-device procedural terrain).
+
+Mechanics (B7 [K-high]):
+- a chain of stones is sampled at reset (terrain/stones.py) with per-env
+  curriculum stage — stones are scene boxes, robot starts on stone 0;
+- the env tracks the current target stone index; the observation appends
+  the next TWO step targets in the heading frame (ALLSTEPS lookahead of 2);
+- a target counts hit when the swing foot (feet alternate) touches within a
+  radius of the stone's top center [K-med predicate]; on hit: target bonus,
+  advance, shift the two-target window;
+- episode ends on fall or after the final stone (success).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from flax import struct
+
+from mocca_envs_tpu.core import quat as quat_ops
+from mocca_envs_tpu.core import rng as rng_mod
+from mocca_envs_tpu.envs.env import EnvState, Transition, make_fn_env
+from mocca_envs_tpu.models import walker3d
+from mocca_envs_tpu.models.schema import RobotModel
+from mocca_envs_tpu.ops.kinematics import forward_kinematics
+from mocca_envs_tpu.ops.step import make_control_step
+from mocca_envs_tpu.tasks import base as T
+from mocca_envs_tpu.tasks.walker_custom import WalkerParams
+from mocca_envs_tpu.terrain import scene as scene_mod
+from mocca_envs_tpu.terrain.stones import (
+    StoneParams,
+    sample_stones,
+    stones_to_scene_boxes,
+)
+from mocca_envs_tpu.utils.config import EngineConfig
+
+
+class StepperParams(struct.PyTreeNode):
+    walker: WalkerParams
+    stones: StoneParams
+    step_radius: jnp.ndarray       # xy radius counting a stone as hit
+    step_bonus: jnp.ndarray        # reward per stone hit
+    success_bonus: jnp.ndarray     # completing the chain
+
+    @classmethod
+    def default(cls) -> "StepperParams":
+        f = lambda v: jnp.asarray(v, dtype=jnp.float32)
+        return cls(
+            walker=WalkerParams.default(),
+            stones=StoneParams(),
+            step_radius=f(0.3),
+            step_bonus=f(6.0),
+            success_bonus=f(20.0),
+        )
+
+    def set_curriculum(self, stage) -> "StepperParams":
+        """Reference trainer API: env.set_curriculum(k) (SURVEY.md §3.5)."""
+        return self.replace(stones=self.stones.set_stage(stage))
+
+
+class StepperTaskState(struct.PyTreeNode):
+    stone_top: jnp.ndarray     # (K, 3) top-center positions
+    stone_quat: jnp.ndarray    # (K, 4)
+    next_step: jnp.ndarray     # int32 current target stone index
+    potential: jnp.ndarray     # −dist(root→target)/dt potential (B7 [K-med])
+
+
+def make_walker3d_stepper(
+    config: EngineConfig | None = None,
+    params: StepperParams | None = None,
+    model: RobotModel | None = None,
+    name: str = "Walker3DStepperEnv",
+    initial_z: float | None = None,
+):
+    model = model or walker3d.make_model()
+    config = config or EngineConfig()
+    params = params or StepperParams.default()
+    initial_z = walker3d.INITIAL_Z if initial_z is None else initial_z
+    terminal_links = walker3d.terminal_links(model)
+    K = params.stones.num_steps
+    wp = params.walker
+
+    foot_link_idx = tuple(
+        model.link_names.index(n)
+        for n in ("right_ankle_x", "left_ankle_x")
+        if n in model.link_names
+    )
+
+    def actuation(q, qd, a):
+        return wp.power * model.power_coef * model.actuated * jnp.clip(a, -1.0, 1.0)
+
+    control = make_control_step(model, config, actuation=actuation)
+    # obs: walker block + two lookahead targets (Δxyz in heading frame)
+    obs_dim = 8 + 2 * model.nj + len(model.foot_links) + 6
+
+    def targets_obs(q, task: StepperTaskState) -> jnp.ndarray:
+        """Next-two stone targets relative to the root, heading frame (B4)."""
+        yaw = T.heading_yaw(q)
+        idx0 = jnp.minimum(task.next_step, K - 1)
+        idx1 = jnp.minimum(task.next_step + 1, K - 1)
+        rel0 = T.to_heading_frame(yaw, task.stone_top[idx0] - q[0:3])
+        rel1 = T.to_heading_frame(yaw, task.stone_top[idx1] - q[0:3])
+        return jnp.concatenate([rel0, rel1])
+
+    def full_obs(state: EnvState, foot_contact) -> jnp.ndarray:
+        q, qd = state.q, state.qd
+        tgt = state.task.stone_top[jnp.minimum(state.task.next_step, K - 1)]
+        to_t = tgt[:2] - q[0:2]
+        angle = jnp.arctan2(to_t[1], to_t[0]) - T.heading_yaw(q)
+        body = T.body_obs(model, q, qd, initial_z, angle)
+        q_s, qd_s = T.joint_obs(model, q, qd)
+        return jnp.concatenate(
+            [body, q_s, qd_s, foot_contact, targets_obs(q, state.task)]
+        )
+
+    def obs_fn(state: EnvState) -> jnp.ndarray:
+        nfeet = len(model.foot_links)
+        return full_obs(state, jnp.zeros((nfeet,), state.q.dtype))
+
+    def reset(key: jax.Array, reset_count) -> EnvState:
+        ek = rng_mod.reset_key(key, reset_count)
+        kj, ks = jax.random.split(ek)
+        noise = wp.init_joint_noise * jax.random.uniform(
+            kj, (model.nj,), minval=-1.0, maxval=1.0
+        )
+        qj = jnp.clip(noise, model.limit_lo, model.limit_hi)
+        start_top = jnp.array([0.0, 0.0, 0.0])
+        stone_top, stone_quat = sample_stones(params.stones, ks, start_top)
+        center, half = stones_to_scene_boxes(params.stones, stone_top, stone_quat)
+        scene = scene_mod.with_stones(
+            stone_pos=center, stone_quat=stone_quat, stone_half=half,
+            ground_z=-20.0,
+        )
+        q = jnp.concatenate(
+            [
+                jnp.array([0.0, 0.0, initial_z + 0.02]),
+                jnp.array([1.0, 0.0, 0.0, 0.0]),
+                qj,
+            ]
+        )
+        qd = jnp.zeros(model.nv)
+        tgt = stone_top[1]
+        dist = jnp.linalg.norm(tgt[:2] - q[0:2])
+        task = StepperTaskState(
+            stone_top=stone_top,
+            stone_quat=stone_quat,
+            next_step=jnp.asarray(1, jnp.int32),
+            potential=-dist / config.control_dt,
+        )
+        return EnvState(
+            q=q, qd=qd, key=key,
+            reset_count=jnp.asarray(reset_count, jnp.int32),
+            steps=jnp.zeros((), jnp.int32),
+            task=task, scene=scene,
+            done=jnp.zeros((), jnp.bool_),
+            blowup_count=jnp.zeros((), jnp.int32),
+        )
+
+    def raw_step(state: EnvState, action: jnp.ndarray) -> Transition:
+        q, qd, info = control(state.q, state.qd, action, state.scene)
+        task = state.task
+
+        idx = jnp.minimum(task.next_step, K - 1)
+        tgt = task.stone_top[idx]
+
+        # ---- step-advance state machine (B7)
+        fd = forward_kinematics(model, q, qd)
+        swing = jnp.mod(task.next_step, 2)  # feet alternate [K-med]
+        foot_pos = jnp.stack([fd.pos[l] for l in foot_link_idx])  # (2, 3)
+        foot_contact = info.foot_contact[: len(foot_link_idx)]
+        swing_pos = foot_pos[swing]
+        swing_touch = foot_contact[swing] > 0.5
+        close = (
+            jnp.linalg.norm(swing_pos[:2] - tgt[:2]) < params.step_radius
+        ) & (jnp.abs(swing_pos[2] - tgt[2]) < 0.25)
+        hit = swing_touch & close
+        at_last = task.next_step >= (K - 1)
+        success = hit & at_last
+        next_step = jnp.where(hit, jnp.minimum(task.next_step + 1, K - 1), task.next_step)
+
+        # ---- reward (progress toward current target + stone bonuses)
+        new_tgt = task.stone_top[jnp.minimum(next_step, K - 1)]
+        dist = jnp.linalg.norm(new_tgt[:2] - q[0:2])
+        potential = -dist / config.control_dt
+        # on a hit the potential basis changes; gate progress to same-target steps
+        progress = jnp.where(
+            hit, 0.0, wp.w_progress * (potential - task.potential)
+        )
+
+        tall = q[2] - tgt[2] > wp.terminal_height
+        body_touch = jnp.zeros((), q.dtype)
+        for l in terminal_links:
+            body_touch = jnp.maximum(body_touch, info.link_contact[l])
+        fallen = (~tall) | (body_touch > 0.5)
+
+        alive = jnp.where(fallen, -wp.fall_penalty, wp.tall_bonus)
+        costs = T.energy_costs(model, action, qd, wp.w_electricity, wp.w_stall)
+        costs = costs + T.joints_at_limit_cost(model, q, wp.w_limit)
+        reward = (
+            progress + alive - costs
+            + params.step_bonus * hit.astype(q.dtype)
+            + params.success_bonus * success.astype(q.dtype)
+        )
+
+        steps = state.steps + 1
+        done = fallen | success | (steps >= wp.max_steps)
+
+        new_state = state.replace(
+            q=q, qd=qd, steps=steps,
+            task=StepperTaskState(
+                stone_top=task.stone_top,
+                stone_quat=task.stone_quat,
+                next_step=next_step,
+                potential=potential,
+            ),
+        )
+        obs = full_obs(new_state, info.foot_contact)
+        metrics = {
+            "progress": progress,
+            "steps_reached": next_step.astype(jnp.float32),
+            "stone_hit": hit.astype(q.dtype),
+            "success": success.astype(q.dtype),
+            "fallen": fallen.astype(q.dtype),
+            "curriculum_stage": params.stones.stage,
+        }
+        return Transition(
+            state=new_state, obs=obs, reward=reward, done=done, metrics=metrics
+        )
+
+    return make_fn_env(
+        name=name,
+        obs_dim=obs_dim,
+        act_dim=model.nj,
+        reset=reset,
+        raw_step=raw_step,
+        obs_fn=obs_fn,
+        control_dt=config.control_dt,
+        mirror=(model.mirror_act_perm, model.mirror_act_sign),
+    )

@@ -1,0 +1,105 @@
+"""Walker3DStepperEnv gates: stone generation, curriculum scaling, the
+step-advance machine, and batched per-env curricula (SURVEY.md B6/B7)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import mocca_envs_tpu
+from mocca_envs_tpu.tasks.walker_stepper import StepperParams, make_walker3d_stepper
+from mocca_envs_tpu.terrain.stones import StoneParams, sample_stones
+
+
+def test_stone_chain_shape_and_determinism():
+    p = StoneParams()
+    key = jax.random.key(3)
+    pos1, quat1 = sample_stones(p, key, jnp.zeros(3))
+    pos2, quat2 = sample_stones(p, key, jnp.zeros(3))
+    assert pos1.shape == (p.num_steps, 3)
+    np.testing.assert_array_equal(pos1, pos2)
+    # consecutive stone spacing within configured ranges
+    d = jnp.linalg.norm(jnp.diff(pos1, axis=0), axis=1)
+    assert float(jnp.min(d)) > 0.5 and float(jnp.max(d)) < 1.6
+
+
+def test_curriculum_stage_widens_ranges():
+    key = jax.random.key(0)
+    easy_p = StoneParams().set_stage(0)
+    hard_p = StoneParams().set_stage(9)
+
+    def spread(p):
+        pos, _ = sample_stones(p, key, jnp.zeros(3))
+        return float(jnp.std(pos[:, 2]))  # height variation
+
+    # stage 0 has zero pitch ⇒ flat chain; stage 9 pitches up to ±50°
+    assert spread(easy_p) < 1e-5
+    assert spread(hard_p) > 0.1
+
+
+def test_curriculum_is_dynamic_data_no_recompile():
+    """SURVEY.md §7.3 hard part #4: stage updates must not change shapes."""
+    p = StoneParams()
+    f = jax.jit(lambda p, key: sample_stones(p, key, jnp.zeros(3)))
+    key = jax.random.key(1)
+    f(p.set_stage(0), key)
+    before = f._cache_size()
+    f(p.set_stage(5), key)
+    f(p.set_stage(9), key)
+    assert f._cache_size() == before
+
+
+@pytest.fixture(scope="module")
+def env():
+    return mocca_envs_tpu.make("Walker3DStepperEnv")
+
+
+def test_stepper_reset_on_first_stone(env):
+    state = env.init(jax.random.key(0))
+    # robot starts above stone 0's top (top z = 0)
+    assert 0.7 < float(state.q[2]) < 1.2
+    assert int(state.task.next_step) == 1
+    obs = env.obs_fn(state)
+    assert obs.shape == (env.obs_dim,)
+    # targets in obs are ahead of the robot in heading frame (+x-ish)
+    assert float(obs[-6]) > 0.0
+
+
+def test_stepper_steps_and_stays_finite(env):
+    state = env.init(jax.random.key(2))
+    step = jax.jit(env.step)
+    for _ in range(30):
+        tr = step(state, jnp.zeros(env.act_dim))
+        state = tr.state
+    assert bool(jnp.all(jnp.isfinite(state.q)))
+
+
+def test_stepper_falls_between_stones(env):
+    """Zero-torque walker must eventually fall off / collapse and reset."""
+    state = env.init(jax.random.key(4))
+    step = jax.jit(env.step_no_reset)
+    done = False
+    for _ in range(200):
+        tr = step(state, jnp.zeros(env.act_dim))
+        state = tr.state
+        if bool(tr.done):
+            done = True
+            break
+    assert done
+
+
+def test_per_env_curriculum_in_one_batch():
+    """Different curriculum stages coexist in one vmapped batch."""
+    import mocca_envs_tpu.tasks.walker_stepper as ws
+
+    def make_state(stage, seed):
+        env = make_walker3d_stepper(
+            params=StepperParams.default().set_curriculum(stage)
+        )
+        return env.init(jax.random.key(seed))
+
+    s_easy = make_state(0, 0)
+    s_hard = make_state(9, 0)
+    flat_z = float(jnp.std(s_easy.task.stone_top[:, 2]))
+    hard_z = float(jnp.std(s_hard.task.stone_top[:, 2]))
+    assert flat_z < 1e-5 and hard_z > 0.05

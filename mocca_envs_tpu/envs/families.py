@@ -32,3 +32,60 @@ register(
         make_cassie, name="CassiePhase2DEnv", planar=True, phase_obs=True
     ),
 )
+
+from mocca_envs_tpu.tasks.monkey_stepper import make_monkey3d_stepper  # noqa: E402
+
+register("Monkey3DStepperEnv", make_monkey3d_stepper)
+
+
+def _make_walker2d_custom(**kw):
+    from mocca_envs_tpu.models import walker2d
+
+    return make_walker3d_custom(
+        model=walker2d.make_walker2d(),
+        name="Walker2DCustomEnv",
+        initial_z=walker2d.WALKER2D_INITIAL_Z,
+        constraints=walker2d.planar_spec(),
+        terminal_link_names=("base",),
+        **kw,
+    )
+
+
+def _make_crab2d_custom(**kw):
+    from mocca_envs_tpu.models import walker2d
+
+    return make_walker3d_custom(
+        model=walker2d.make_crab2d(),
+        name="Crab2DCustomEnv",
+        initial_z=walker2d.CRAB2D_INITIAL_Z,
+        constraints=walker2d.planar_spec(),
+        terminal_link_names=("base",),
+        **kw,
+    )
+
+
+def _make_child3d_custom(**kw):
+    from mocca_envs_tpu.models import child3d
+    from mocca_envs_tpu.tasks.walker_custom import WalkerParams
+
+    params = kw.pop("params", None) or WalkerParams.default().replace(
+        terminal_height=jnp_f32(0.35)
+    )
+    return make_walker3d_custom(
+        model=child3d.make_model(),
+        name="Child3DCustomEnv",
+        initial_z=child3d.INITIAL_Z,
+        params=params,
+        **kw,
+    )
+
+
+def jnp_f32(v):
+    import jax.numpy as jnp
+
+    return jnp.asarray(v, dtype=jnp.float32)
+
+
+register("Walker2DCustomEnv", _make_walker2d_custom)
+register("Crab2DCustomEnv", _make_crab2d_custom)
+register("Child3DCustomEnv", _make_child3d_custom)

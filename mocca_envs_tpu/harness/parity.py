@@ -1,0 +1,209 @@
+"""Parity harness: trajectory interchange format, recorder, replayer.
+
+SURVEY.md §7.4: the north-star gate is seeded trajectory parity against the
+reference's PyBullet rollouts (BASELINE.json config 1), but the reference
+mount was empty at build time (SURVEY.md §0). This module therefore defines
+the *trajectory interchange format* now, proves the machinery on internal
+goldens, and ships a recorder CLI stub that will produce reference
+recordings the moment a pybullet + mocca_envs install exists.
+
+Format (npz):
+    meta.json-in-npz:  env_id, seed, engine ("tpu"|"pybullet"), model_hash,
+                       control_dt, notes
+    per-step arrays:   q (T+1, nq), qd (T+1, nv), action (T, nu),
+                       obs (T, obs_dim), reward (T,), done (T,)
+
+Quaternion convention in FILES is pybullet's xyzw scalar-last
+(core/quat.to_xyzw at the boundary) so reference recordings need no
+conversion on their side.
+
+Tolerance gates (BASELINE "contact-solver tolerance gates"): positions and
+joint angles compared with a per-step growing envelope — contact solvers
+diverge multiplicatively, so the gate is
+``atol + rtol_growth^t * base`` rather than a flat epsilon.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import hashlib
+import json
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from mocca_envs_tpu.core import quat as quat_ops
+from mocca_envs_tpu.envs.env import FnEnv
+
+
+def model_hash(model) -> str:
+    """Stable content hash of a RobotModel's arrays + topology."""
+    h = hashlib.sha256()
+    h.update(repr((model.parent, model.jtype, model.floating)).encode())
+    for leaf in jax.tree.leaves(model):
+        h.update(np.asarray(leaf).tobytes())
+    return h.hexdigest()[:16]
+
+
+@dataclasses.dataclass
+class Recording:
+    meta: dict
+    q: np.ndarray
+    qd: np.ndarray
+    action: np.ndarray
+    obs: np.ndarray
+    reward: np.ndarray
+    done: np.ndarray
+
+    def save(self, path: str) -> None:
+        np.savez_compressed(
+            path,
+            meta=json.dumps(self.meta),
+            q=self.q, qd=self.qd, action=self.action,
+            obs=self.obs, reward=self.reward, done=self.done,
+        )
+
+    @classmethod
+    def load(cls, path: str) -> "Recording":
+        z = np.load(path, allow_pickle=False)
+        return cls(
+            meta=json.loads(str(z["meta"])),
+            q=z["q"], qd=z["qd"], action=z["action"],
+            obs=z["obs"], reward=z["reward"], done=z["done"],
+        )
+
+
+def _q_to_file_convention(model, q: np.ndarray) -> np.ndarray:
+    """Internal wxyz → file xyzw for the base quaternion block."""
+    if not model.floating:
+        return q
+    out = q.copy()
+    out[..., 3:7] = np.asarray(quat_ops.to_xyzw(jnp.asarray(q[..., 3:7])))
+    return out
+
+
+def record(
+    env: FnEnv,
+    model,
+    seed: int,
+    horizon: int,
+    policy=None,
+    env_id: str = "",
+) -> Recording:
+    """Record a single seeded episode of OUR engine (no auto-reset).
+
+    ``policy(obs, t) → action`` defaults to zeros. This produces internal
+    goldens proving the format + replayer machinery (SURVEY.md §4.3) and is
+    the half of the parity pair we can run today.
+    """
+    state = env.init(jax.random.key(seed))
+    step = jax.jit(env.step_no_reset)
+    qs, qds, acts, obss, rews, dones = [], [], [], [], [], []
+    qs.append(np.asarray(state.q))
+    qds.append(np.asarray(state.qd))
+    for t in range(horizon):
+        obs = env.obs_fn(state)
+        a = (
+            np.zeros(env.act_dim, dtype=np.float32)
+            if policy is None
+            else np.asarray(policy(np.asarray(obs), t), dtype=np.float32)
+        )
+        tr = step(state, jnp.asarray(a))
+        state = tr.state
+        acts.append(a)
+        obss.append(np.asarray(tr.obs))
+        rews.append(float(tr.reward))
+        dones.append(bool(tr.done))
+        qs.append(np.asarray(state.q))
+        qds.append(np.asarray(state.qd))
+        if dones[-1]:
+            break
+    meta = {
+        "env_id": env_id or env.name,
+        "seed": seed,
+        "engine": "tpu",
+        "model_hash": model_hash(model),
+        "control_dt": env.control_dt,
+        "format_version": 1,
+    }
+    return Recording(
+        meta=meta,
+        q=_q_to_file_convention(model, np.stack(qs)),
+        qd=np.stack(qds),
+        action=np.stack(acts),
+        obs=np.stack(obss),
+        reward=np.asarray(rews, dtype=np.float32),
+        done=np.asarray(dones),
+    )
+
+
+@dataclasses.dataclass
+class ToleranceGate:
+    """Contact-solver tolerance gates (BASELINE.json config 1 wording)."""
+
+    q_atol: float = 1e-3          # base tolerance on generalized positions
+    growth: float = 1.02          # per-step multiplicative envelope
+    reward_atol: float = 1e-2
+    obs_atol: float = 5e-3
+
+    def envelope(self, t: int, atol: float) -> float:
+        return atol * (self.growth ** t)
+
+
+def replay_check(
+    env: FnEnv,
+    model,
+    rec: Recording,
+    gate: ToleranceGate = ToleranceGate(),
+) -> dict:
+    """Re-run the recorded actions; return per-channel max errors + verdict.
+
+    This is the gate that will compare against PYBULLET recordings when the
+    reference appears; today it validates determinism against our own
+    goldens (errors must be ~0) and exercises the full tolerance machinery.
+    """
+    state = env.init(jax.random.key(int(rec.meta["seed"])))
+    step = jax.jit(env.step_no_reset)
+    T = rec.action.shape[0]
+    q_err = np.zeros(T)
+    r_err = np.zeros(T)
+    o_err = np.zeros(T)
+    ok = True
+    for t in range(T):
+        tr = step(state, jnp.asarray(rec.action[t]))
+        state = tr.state
+        q_now = _q_to_file_convention(model, np.asarray(state.q))
+        q_err[t] = float(np.max(np.abs(q_now - rec.q[t + 1])))
+        r_err[t] = abs(float(tr.reward) - float(rec.reward[t]))
+        o_err[t] = float(np.max(np.abs(np.asarray(tr.obs) - rec.obs[t])))
+        if q_err[t] > gate.envelope(t, gate.q_atol):
+            ok = False
+        if bool(tr.done) != bool(rec.done[t]):
+            ok = False
+            break
+    return {
+        "ok": ok,
+        "steps": T,
+        "max_q_err": float(q_err.max(initial=0.0)),
+        "max_reward_err": float(r_err.max(initial=0.0)),
+        "max_obs_err": float(o_err.max(initial=0.0)),
+    }
+
+
+def reference_recorder_stub() -> str:
+    """CLI recipe for producing the pybullet half of the parity pair.
+
+    Runnable the moment ``/root/reference`` is populated and pybullet is
+    installed (SURVEY.md §0 verification protocol). Kept as an executable
+    docstring so the interchange contract lives next to the replayer.
+    """
+    return (
+        "python -m mocca_envs_tpu.harness.parity_record_pybullet "
+        "--env Walker3DCustomEnv-v0 --seed 0 --horizon 1000 "
+        "--out recordings/walker3d_seed0.npz\n"
+        "# writes the same npz schema with meta.engine='pybullet'; quats "
+        "already xyzw; actions replayed from a saved action file or a "
+        "seeded policy"
+    )

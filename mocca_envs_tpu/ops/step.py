@@ -109,12 +109,33 @@ def make_substep(
     model: RobotModel,
     config: EngineConfig,
     constraints: ConstraintSpec = ConstraintSpec(),
+    extra_damping: jnp.ndarray | None = None,
 ):
-    """Build the single-substep function ``(q, qd, tau_j, scene, grabs) → …``."""
+    """Build the single-substep function ``(q, qd, tau_j, scene, grabs) → …``.
+
+    ``extra_damping`` (nj,) adds per-joint viscous damping handled
+    IMPLICITLY every substep — the home of a PD servo's −k_d·q̇ term. A
+    zero-order-hold explicit k_d·q̇ (the naive reading of reference behavior
+    B3) is unstable whenever ``dt > 2·I_joint/k_d``, which Cassie's toe
+    (k_d = 5, I ≈ 5·10⁻⁴ kg·m²) violates at ANY practical engine rate; the
+    reference survives only because Bullet's velocity-level motor model is
+    itself implicit. Folding k_d into the system matrix reproduces that
+    stability property.
+    """
     gravity = jnp.asarray(config.gravity, dtype=jnp.float32)
     dt = config.dt
     ns = model.ns
     ne = constraints.ne
+    damping = model.damping + (0.0 if extra_damping is None else extra_damping)
+
+    def _eq_target(err):
+        # Baumgarte drift correction for equality rows, velocity-capped like
+        # contact push-out — an uncapped β/dt factor (120 s⁻¹ at Cassie's
+        # 600 Hz) turns any residual closure error into solver-breaking
+        # impulse targets.
+        return jnp.clip(
+            -(config.baumgarte / dt) * err, -config.max_push_vel, config.max_push_vel
+        )
 
     def substep(q, qd, tau_joint, scene: Scene, grab_active=None, grab_target=None):
         fd = forward_kinematics(model, q, qd)
@@ -123,7 +144,7 @@ def make_substep(
         # passive joint forces: viscous damping + Cassie spring joints (B3)
         qj = joint_q(model, q)
         qdj = joint_qd(model, qd)
-        tau_passive = -model.damping * qdj - model.stiffness * (qj - model.spring_ref)
+        tau_passive = -damping * qdj - model.stiffness * (qj - model.spring_ref)
         tau_j = tau_joint + tau_passive
         if model.floating:
             tau = jnp.concatenate([jnp.zeros(6, dtype=q.dtype), tau_j])
@@ -131,7 +152,7 @@ def make_substep(
             tau = tau_j
 
         # implicit spring/damper diagonal (see dynamics.forward_dynamics)
-        joint_diag = dt * (model.damping + dt * model.stiffness)
+        joint_diag = dt * (damping + dt * model.stiffness)
         qdd_free, Minv = forward_dynamics(
             model, fd, qd, tau, gravity, joint_diag=joint_diag
         )
@@ -148,7 +169,7 @@ def make_substep(
             xb = fd.pos[lb] + fd.rot[lb] @ ab
             Jk = point_jacobian(model, fd, la, xa) - point_jacobian(model, fd, lb, xb)
             rows_J.append(Jk)
-            rows_tgt.append(-(config.baumgarte / dt) * (xa - xb))
+            rows_tgt.append(_eq_target(xa - xb))
             rows_act.append(jnp.ones(3, dtype=q.dtype))
 
         if constraints.planar:
@@ -160,7 +181,7 @@ def make_substep(
             rpy = quat_ops.to_rpy(q[3:7])
             err = jnp.stack([q[1], rpy[0], rpy[2]])
             rows_J.append(Jp)
-            rows_tgt.append(-(config.baumgarte / dt) * err)
+            rows_tgt.append(_eq_target(err))
             rows_act.append(jnp.ones(3, dtype=q.dtype))
 
         for g in range(constraints.num_grabs):
@@ -170,7 +191,7 @@ def make_substep(
             Jg = point_jacobian(model, fd, lg, xg)
             err = xg - grab_target[g]
             rows_J.append(Jg)
-            rows_tgt.append(-(config.baumgarte / dt) * err)
+            rows_tgt.append(_eq_target(err))
             rows_act.append(jnp.full((3,), grab_active[g], dtype=q.dtype))
 
         # contact rows, one block per collision sphere
@@ -223,6 +244,7 @@ def make_control_step(
     config: EngineConfig,
     constraints: ConstraintSpec = ConstraintSpec(),
     actuation: Callable | None = None,
+    extra_damping: jnp.ndarray | None = None,
 ):
     """Build the control-rate step: the function the task envs drive.
 
@@ -232,7 +254,7 @@ def make_control_step(
     ``(q', qd', StepInfo)`` with diagnostics from the LAST substep, matching
     when the reference queries contacts (§3.3: after ``global_step``).
     """
-    substep = make_substep(model, config, constraints)
+    substep = make_substep(model, config, constraints, extra_damping=extra_damping)
     if actuation is None:
         actuation = lambda q, qd, a: a  # raw joint torques
 

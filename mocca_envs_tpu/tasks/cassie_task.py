@@ -29,7 +29,7 @@ from mocca_envs_tpu.core import rng as rng_mod
 from mocca_envs_tpu.envs.env import EnvState, Transition, make_fn_env
 from mocca_envs_tpu.models import cassie
 from mocca_envs_tpu.models.schema import RobotModel
-from mocca_envs_tpu.ops.kinematics import joint_q, joint_qd
+from mocca_envs_tpu.ops.kinematics import joint_q
 from mocca_envs_tpu.ops.step import ConstraintSpec, make_control_step
 from mocca_envs_tpu.tasks import base as T
 from mocca_envs_tpu.terrain import scene as scene_mod
@@ -92,6 +92,7 @@ def make_cassie(
     phase_obs: bool = False,
 ):
     model = cassie.make_model()
+    initial_z = cassie.initial_z()
     config = config or CASSIE_CONFIG
     params = params or CassieParams.default()
     spec = cassie.constraints()
@@ -112,20 +113,28 @@ def make_cassie(
     pelvis_idx = 0
 
     def actuation(q, qd, action):
-        """PD servo at llc rate (B3): action = Δtargets around stand pose."""
+        """PD servo at llc rate (B3): action = Δtargets around stand pose.
+
+        Only the proportional term lives here; the −k_d·q̇ damping is
+        handled implicitly inside every substep via ``extra_damping``
+        (see ops/step.make_substep — explicit ZOH damping is unstable on
+        the low-inertia toe joints).
+        """
         targets = stand.at[motor_idx].add(jnp.clip(action, -1.0, 1.0))
         qj = joint_q(model, q)
-        qdj = joint_qd(model, qd)
-        return model.actuated * (model.kp * (targets - qj) - model.kd * qdj)
+        return model.actuated * model.kp * (targets - qj)
 
-    control = make_control_step(model, config, constraints=spec, actuation=actuation)
+    control = make_control_step(
+        model, config, constraints=spec, actuation=actuation,
+        extra_damping=model.actuated * model.kd,
+    )
     nfeet = len(model.foot_links)
     obs_dim = 8 + 2 * model.nj + nfeet + (2 if phase_obs else 0)
 
     def full_obs(state: EnvState, foot_contact) -> jnp.ndarray:
         q, qd = state.q, state.qd
         # walk-forward task: "target" is straight ahead (+x) — angle 0
-        body = T.body_obs(model, q, qd, cassie.INITIAL_Z, jnp.zeros(()))
+        body = T.body_obs(model, q, qd, initial_z, jnp.zeros(()))
         q_s, qd_s = T.joint_obs(model, q, qd)
         parts = [body, q_s, qd_s, foot_contact]
         if phase_obs:
@@ -145,7 +154,7 @@ def make_cassie(
         qj = jnp.clip(qj, model.limit_lo, model.limit_hi)
         q = jnp.concatenate(
             [
-                jnp.array([0.0, 0.0, cassie.INITIAL_Z]),
+                jnp.array([0.0, 0.0, initial_z + 0.01]),
                 jnp.array([1.0, 0.0, 0.0, 0.0]),
                 qj,
             ]

@@ -96,19 +96,36 @@ def make_walker3d_custom(
     model: RobotModel | None = None,
     name: str = "Walker3DCustomEnv",
     initial_z: float | None = None,
+    constraints=None,
+    terminal_link_names: tuple | None = None,
 ):
-    """Build the FnEnv for walk-to-target on flat ground."""
+    """Build the FnEnv for walk-to-target on flat ground.
+
+    Also parameterizes the reference's model-variant walk-to-target envs:
+    ``Walker2DCustomEnv`` / ``Crab2DCustomEnv`` (planar constraint spec) and
+    ``Child3DCustomEnv`` (scaled model) — SURVEY.md §2.1 C3 [K-low].
+    """
+    from mocca_envs_tpu.ops.step import ConstraintSpec
+
     model = model or walker3d.make_model()
     config = config or EngineConfig()
     params = params or WalkerParams.default()
+    constraints = constraints or ConstraintSpec()
     initial_z = walker3d.INITIAL_Z if initial_z is None else initial_z
-    terminal_links = walker3d.terminal_links(model)
+    if terminal_link_names is None:
+        terminal_links = walker3d.terminal_links(model)
+    else:
+        terminal_links = tuple(
+            model.link_names.index(n) for n in terminal_link_names
+        )
 
     def actuation(q, qd, a):
         # behavior B2 with dynamic global power scale from params
         return params.power * model.power_coef * model.actuated * jnp.clip(a, -1.0, 1.0)
 
-    control = make_control_step(model, config, actuation=actuation)
+    control = make_control_step(
+        model, config, constraints=constraints, actuation=actuation
+    )
     obs_dim = _obs_dim(model)
     nfeet = len(model.foot_links)
 

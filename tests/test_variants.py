@@ -1,0 +1,53 @@
+"""2D / child model-variant gates (SURVEY.md §2.1 C5 [K-low] families)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import mocca_envs_tpu
+
+
+ALL_IDS = [
+    "Walker3DCustomEnv",
+    "Walker3DStepperEnv",
+    "CassieEnv",
+    "Cassie2DEnv",
+    "CassiePhaseEnv",
+    "CassiePhase2DEnv",
+    "Monkey3DStepperEnv",
+    "Walker2DCustomEnv",
+    "Crab2DCustomEnv",
+    "Child3DCustomEnv",
+]
+
+
+def test_registry_covers_reference_table():
+    regd = mocca_envs_tpu.registered_envs()
+    for env_id in ALL_IDS:
+        assert env_id in regd, f"{env_id} missing from registry"
+
+
+@pytest.mark.parametrize("env_id", ["Walker2DCustomEnv", "Crab2DCustomEnv"])
+def test_planar_env_steps_and_stays_in_plane(env_id):
+    env = mocca_envs_tpu.make(env_id)
+    state = env.init(jax.random.key(0))
+    step = jax.jit(env.step_no_reset)
+    for _ in range(20):
+        tr = step(state, 0.3 * jnp.ones(env.act_dim))
+        state = tr.state
+    assert bool(jnp.all(jnp.isfinite(state.q)))
+    assert abs(float(state.q[1])) < 0.05  # y locked by planar rows
+
+
+def test_child3d_is_smaller_and_lighter():
+    from mocca_envs_tpu.models import child3d, walker3d
+
+    child = child3d.make_model()
+    adult = walker3d.make_model()
+    assert float(child.mass.sum()) < 0.2 * float(adult.mass.sum())
+    env = mocca_envs_tpu.make("Child3DCustomEnv")
+    state = env.init(jax.random.key(1))
+    assert float(state.q[2]) < 0.55
+    tr = jax.jit(env.step)(state, jnp.zeros(env.act_dim))
+    assert bool(jnp.all(jnp.isfinite(tr.obs)))

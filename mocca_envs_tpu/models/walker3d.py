@@ -120,6 +120,10 @@ def make_model() -> RobotModel:
             power_coef=pc,
             actuated=True,
             damping=0.0,
+            # reflected rotor inertia: conditions the mass matrix (dummy
+            # stacked-hinge links are otherwise near-singular in f32) and is
+            # physically present in any geared actuator [K-med]
+            armature=0.01,
         )
     names = None
 

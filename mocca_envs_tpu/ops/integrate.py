@@ -14,6 +14,9 @@ from mocca_envs_tpu.core import quat as quat_ops
 from mocca_envs_tpu.models.schema import RobotModel
 
 
+MAX_VEL = 100.0  # hard cap on any generalized velocity [rad/s | m/s]
+
+
 def integrate(model: RobotModel, q: jnp.ndarray, qd_new: jnp.ndarray, dt: float):
     """Advance positions with already-updated velocities, then enforce joint
     limits by projection.
@@ -23,8 +26,14 @@ def integrate(model: RobotModel, q: jnp.ndarray, qd_new: jnp.ndarray, dt: float)
     joint coordinate to its range and zeroing any outward velocity — a
     cheaper, unconditionally stable approximation that differs only while a
     limit is actively engaged (inside the parity tolerance gates; revisit
-    with solver rows if parity testing demands it). Returns ``(q', qd')``.
+    with solver rows if parity testing demands it).
+
+    Velocities are hard-capped at ±MAX_VEL (Bullet similarly clamps), which
+    turns a would-be NaN cascade from a violent contact into a recoverable
+    fast motion — the per-env health mask (SURVEY.md §5.3) still counts it.
+    Returns ``(q', qd')``.
     """
+    qd_new = jnp.clip(qd_new, -MAX_VEL, MAX_VEL)
     if not model.floating:
         joints = q + dt * qd_new
         clamped = jnp.clip(joints, model.limit_lo, model.limit_hi)

@@ -1,0 +1,648 @@
+"""Fused Pallas physics substep — the whole engine in one TPU kernel.
+
+WHY: profiled at B=4096 on TPU v5 lite, the XLA substep costs ~8 ms and is
+dominated by launch overhead + HBM round-trips of tiny intermediates (FK
+chain ≈ 3 ms for ~0.05 ms of math; growing the batch to 16k made throughput
+WORSE — bandwidth-bound). The arithmetic is ~60k MACs/env/substep: at VPU
+rates a fused kernel's ceiling is ~0.2 ms. This is exactly the "Pallas
+where XLA fusion falls short" case the north star names (BASELINE.json:
+"rewrite the contact solver and terrain raycast as Pallas kernels").
+
+DESIGN
+- Layout: batch-in-lanes. Each grid step processes a tile of 1024 envs held
+  as (8, 128) f32 tiles; every physical scalar (a joint angle, a quaternion
+  component, a mass-matrix entry) is one such tile. Host arrays are
+  (C, B) component-major; BlockSpec carves (C, 8, 128) bricks.
+- The model is baked in as PYTHON FLOATS (host-side constants from the
+  RobotModel), so all structural sparsity — ancestor masks, zero inertia
+  products, diagonal inertias, flat-ground normals — constant-folds at
+  trace time through the tiny `_z`-aware helpers below.
+- One kernel runs ``sim_substeps`` full substeps via an internal loop:
+  FK (quaternion chain) → sphere-vs-ground collide → Newton–Euler bias →
+  composite-body CRBA mass matrix (world-frame spatial composites about the
+  base) → unrolled Cholesky → W = L⁻¹Jᵀ (so A = WᵀW needs no explicit M⁻¹)
+  → projected Gauss–Seidel with box friction → impulse map L⁻ᵀ(Wλ) →
+  semi-implicit integrate with joint-limit projection.
+- The row dimension of the contact system (nr = 3·ns) is kept as a REAL
+  array axis ((nr, 8, 128) values) so substitution/Delassus/PGS trace to
+  ~hundreds of vector ops instead of tens of thousands of scalar ops.
+
+Scope v1: floating-base all-revolute models, no equality constraints, flat
+ground (the BASELINE config-2 headline). The JAX path (ops/step.py) remains
+the oracle for every other configuration and for CPU; equivalence is gated
+by tests/test_pallas_engine.py in interpret mode and by an on-TPU numeric
+check.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from mocca_envs_tpu.models.schema import REVOLUTE, RobotModel
+from mocca_envs_tpu.utils.config import EngineConfig
+
+TILE = 1024          # envs per grid step
+SUB = (8, 128)       # physical tile shape
+
+
+# ----------------------------------------------------------------- helpers
+# Scalars are either python floats (compile-time constants) or (8,128)
+# arrays. These helpers fold constants so structural zeros vanish.
+
+def _isf(v):
+    return isinstance(v, (int, float))
+
+
+def _z(v):
+    return _isf(v) and v == 0.0
+
+
+def add(a, b):
+    if _z(a):
+        return b
+    if _z(b):
+        return a
+    return a + b
+
+
+def sub_(a, b):
+    if _z(b):
+        return a
+    if _z(a):
+        return -b if not _isf(b) else -b
+    return a - b
+
+
+def mul(a, b):
+    if _z(a) or _z(b):
+        return 0.0
+    if _isf(a) and a == 1.0:
+        return b
+    if _isf(b) and b == 1.0:
+        return a
+    return a * b
+
+
+def madd(acc, a, b):
+    return add(acc, mul(a, b))
+
+
+def dot3(a, b):
+    return madd(madd(mul(a[0], b[0]), a[1], b[1]), a[2], b[2])
+
+
+def cross(a, b):
+    return (
+        sub_(mul(a[1], b[2]), mul(a[2], b[1])),
+        sub_(mul(a[2], b[0]), mul(a[0], b[2])),
+        sub_(mul(a[0], b[1]), mul(a[1], b[0])),
+    )
+
+
+def v3add(a, b):
+    return (add(a[0], b[0]), add(a[1], b[1]), add(a[2], b[2]))
+
+
+def v3sub(a, b):
+    return (sub_(a[0], b[0]), sub_(a[1], b[1]), sub_(a[2], b[2]))
+
+
+def v3scale(a, s):
+    return (mul(a[0], s), mul(a[1], s), mul(a[2], s))
+
+
+def qmul(a, b):
+    aw, ax, ay, az = a
+    bw, bx, by, bz = b
+    return (
+        sub_(sub_(sub_(mul(aw, bw), mul(ax, bx)), mul(ay, by)), mul(az, bz)),
+        sub_(add(add(mul(aw, bx), mul(ax, bw)), mul(ay, bz)), mul(az, by)),
+        add(sub_(add(mul(aw, by), mul(ay, bw)), mul(ax, bz)), mul(az, bx)),
+        add(add(sub_(mul(aw, bz), mul(ay, bx)), mul(ax, by)), mul(az, bw)),
+    )
+
+
+def qrot(q, v):
+    """Rotate v by quaternion q: v + 2 q_v × (q_v × v + q_w v)."""
+    qv = (q[1], q[2], q[3])
+    t = cross(qv, v3add(cross(qv, v), v3scale(v, q[0])))
+    return v3add(v, v3scale(t, 2.0))
+
+
+def qmat(q):
+    """Quaternion → 9 rotation-matrix scalars (rows of R)."""
+    w, x, y, z = q
+    xx, yy, zz = mul(x, x), mul(y, y), mul(z, z)
+    xy, xz, yz = mul(x, y), mul(x, z), mul(y, z)
+    wx, wy, wz = mul(w, x), mul(w, y), mul(w, z)
+    two = 2.0
+    return (
+        (sub_(1.0, mul(two, add(yy, zz))), mul(two, sub_(xy, wz)), mul(two, add(xz, wy))),
+        (mul(two, add(xy, wz)), sub_(1.0, mul(two, add(xx, zz))), mul(two, sub_(yz, wx))),
+        (mul(two, sub_(xz, wy)), mul(two, add(yz, wx)), sub_(1.0, mul(two, add(xx, yy)))),
+    )
+
+
+def mat_vec(R, v):
+    return tuple(madd(madd(mul(R[i][0], v[0]), R[i][1], v[1]), R[i][2], v[2]) for i in range(3))
+
+
+def rot_inertia(R, I):
+    """R I Rᵀ for symmetric constant-or-tile 3×3 I; returns 3×3 rows."""
+    # B = I Rᵀ  (columns of Rᵀ are rows of R)
+    Bm = [[madd(madd(mul(I[i][0], R[j][0]), I[i][1], R[j][1]), I[i][2], R[j][2])
+           for j in range(3)] for i in range(3)]
+    return [[madd(madd(mul(R[i][0], Bm[0][j]), R[i][1], Bm[1][j]), R[i][2], Bm[2][j])
+             for j in range(3)] for i in range(3)]
+
+
+def _const_v3(arr):
+    return (float(arr[0]), float(arr[1]), float(arr[2]))
+
+
+def supports(model: RobotModel, constraints=None, scene_has_stones=False) -> bool:
+    """Whether the fused kernel covers this configuration (else JAX path)."""
+    if constraints is not None and getattr(constraints, "ne", 0) != 0:
+        return False
+    if scene_has_stones:
+        return False
+    return model.floating and all(t == REVOLUTE for t in model.jtype)
+
+
+def make_pallas_substep(model: RobotModel, config: EngineConfig, interpret: bool = False):
+    """Build ``substep(q, qd, tau, ground_z, friction) → (q', qd', depth, nimp)``
+    running ``config.sim_substeps`` fused physics substeps on TPU.
+
+    ``interpret=True`` runs the kernel in the Pallas interpreter (CPU) — the
+    equivalence-test path against the JAX oracle."""
+    assert supports(model), "unsupported model for the fused kernel"
+    nl, nj = model.nl, model.nj
+    nv, nq = model.nv, model.nq
+    ns = model.ns
+    nr = 3 * ns
+    dt = float(config.dt)
+    n_sub = int(config.sim_substeps)
+    beta_dt = float(config.baumgarte) / dt
+    slop = float(config.slop)
+    maxpush = float(config.max_push_vel)
+    margin = float(config.contact_margin)
+    cfm = float(config.cfm)
+    iters = int(config.solver_iters)
+    gx, gy, gz_acc = (float(g) for g in config.gravity)
+
+    # ---- host-side constants from the model
+    parent = model.parent
+    jq_c = [tuple(float(v) for v in np.asarray(model.joint_quat[j])) for j in range(nj)]
+    jax_c = [_const_v3(np.asarray(model.joint_axis[j])) for j in range(nj)]
+    jpos_c = [_const_v3(np.asarray(model.joint_pos[j])) for j in range(nj)]
+    com_c = [_const_v3(np.asarray(model.com[l])) for l in range(nl)]
+    mass_c = [float(model.mass[l]) for l in range(nl)]
+    inertia_c = [np.asarray(model.inertia[l], dtype=np.float64) for l in range(nl)]
+    anc = np.asarray(model.anc) > 0.5                      # (nl, nj) bools
+    sph_link = [int(v) for v in np.asarray(model.sph_link)]
+    sph_pos_c = [_const_v3(np.asarray(model.sph_pos[s])) for s in range(ns)]
+    sph_r = [float(model.sph_radius[s]) for s in range(ns)]
+    damping_c = np.asarray(model.damping, dtype=np.float64)
+    stiffness_c = np.asarray(model.stiffness, dtype=np.float64)
+    springref_c = np.asarray(model.spring_ref, dtype=np.float64)
+    armature_c = np.asarray(model.armature, dtype=np.float64)
+    lim_lo = np.asarray(model.limit_lo, dtype=np.float64)
+    lim_hi = np.asarray(model.limit_hi, dtype=np.float64)
+    joint_diag = dt * (damping_c + dt * stiffness_c) + armature_c
+
+    def inertia_rows(l):
+        I = inertia_c[l]
+        return [[float(I[i, j]) for j in range(3)] for i in range(3)]
+
+    def kernel(q_ref, qd_ref, tau_ref, gz_ref, fric_ref,
+               qo_ref, qdo_ref, depth_ref, nimp_ref):
+        ground = gz_ref[0]
+        fric = fric_ref[0]
+        tau_in = [tau_ref[j] for j in range(nj)]
+
+        def one_substep(q_s, qd_s):
+            bp = q_s[0:3]
+            bq = q_s[3:7]
+            qj = q_s[7:]
+            bv = qd_s[0:3]
+            bw = qd_s[3:6]
+            qdj = qd_s[6:]
+
+            # ---------------- FK (quaternion chain)
+            pos = [tuple(bp)]
+            quat = [tuple(bq)]
+            omega = [tuple(bw)]
+            vel = [tuple(bv)]
+            jp = [None] * nj
+            ja = [None] * nj
+            for i in range(1, nl):
+                j = i - 1
+                p = parent[i]
+                q_pre = qmul(quat[p], jq_c[j])
+                a_w = qrot(q_pre, jax_c[j])
+                anchor = v3add(pos[p], qrot(quat[p], jpos_c[j]))
+                half = qj[j] * 0.5
+                ch, sh = jnp.cos(half), jnp.sin(half)
+                q_i = qmul(q_pre, (ch, mul(jax_c[j][0], sh), mul(jax_c[j][1], sh), mul(jax_c[j][2], sh)))
+                w_i = v3add(omega[p], v3scale(a_w, qdj[j]))
+                v_i = v3add(vel[p], cross(omega[p], v3sub(anchor, pos[p])))
+                pos.append(anchor)
+                quat.append(q_i)
+                omega.append(w_i)
+                vel.append(v_i)
+                jp[j] = anchor
+                ja[j] = a_w
+
+            R = [qmat(quat[l]) for l in range(nl)]
+            com_w = [v3add(pos[l], mat_vec(R[l], com_c[l])) for l in range(nl)]
+            Iw = [rot_inertia(R[l], inertia_rows(l)) for l in range(nl)]
+
+            # ---------------- collide: spheres vs ground plane z = ground
+            centers = [v3add(pos[sph_link[s]], mat_vec(R[sph_link[s]], sph_pos_c[s]))
+                       for s in range(ns)]
+            depth = [sub_(sph_r[s], sub_(centers[s][2], ground)) for s in range(ns)]
+            active = [(depth[s] > -margin).astype(jnp.float32) for s in range(ns)]
+
+            # ---------------- passive + applied joint torques
+            tau_j = [
+                add(tau_in[j],
+                    sub_(mul(-float(damping_c[j]), qdj[j]),
+                         mul(float(stiffness_c[j]), sub_(qj[j], float(springref_c[j])))))
+                for j in range(nj)
+            ]
+
+            # ---------------- Newton–Euler bias (q̈=0, base acc = −g)
+            alpha = [(0.0, 0.0, 0.0)]
+            acc = [(-gx, -gy, -gz_acc)]
+            for i in range(1, nl):
+                j = i - 1
+                p = parent[i]
+                r = v3sub(pos[i], pos[p])
+                conv = v3add(acc[p], v3add(cross(alpha[p], r),
+                                           cross(omega[p], cross(omega[p], r))))
+                alpha.append(v3add(alpha[p], cross(omega[p], v3scale(ja[j], qdj[j]))))
+                acc.append(conv)
+            F = []
+            Nt = []
+            for l in range(nl):
+                rc = v3sub(com_w[l], pos[l])
+                a_com = v3add(acc[l], v3add(cross(alpha[l], rc),
+                                            cross(omega[l], cross(omega[l], rc))))
+                F.append(v3scale(a_com, mass_c[l]))
+                Iw_a = tuple(dot3(Iw[l][i2], alpha[l]) for i2 in range(3))
+                Iw_w = tuple(dot3(Iw[l][i2], omega[l]) for i2 in range(3))
+                Nt.append(v3add(Iw_a, cross(omega[l], Iw_w)))
+            facc = list(F)
+            nacc = [v3add(Nt[l], cross(v3sub(com_w[l], pos[l]), F[l])) for l in range(nl)]
+            for i in range(nl - 1, 0, -1):
+                p = parent[i]
+                facc[p] = v3add(facc[p], facc[i])
+                nacc[p] = v3add(nacc[p], v3add(nacc[i], cross(v3sub(pos[i], pos[p]), facc[i])))
+            bias = [None] * nv
+            bias[0:3] = list(facc[0])
+            bias[3:6] = list(nacc[0])
+            for j in range(nj):
+                bias[6 + j] = dot3(ja[j], nacc[j + 1])
+
+            # ---------------- CRBA: composites about the base origin O = bp
+            # per-link 10-parameter composite: m, h = m·(com−O), I about O
+            O = pos[0]
+            comp_m = [mass_c[l] for l in range(nl)]
+            comp_h = []
+            comp_I = []
+            for l in range(nl):
+                d = v3sub(com_w[l], O)
+                comp_h.append(v3scale(d, mass_c[l]))
+                dd = dot3(d, d)
+                Il = [[add(Iw[l][a][b],
+                           mul(mass_c[l], sub_(mul(dd if a == b else 0.0, 1.0),
+                                               mul(d[a], d[b]))))
+                       for b in range(3)] for a in range(3)]
+                comp_I.append(Il)
+            for i in range(nl - 1, 0, -1):
+                p = parent[i]
+                comp_m[p] = add(comp_m[p], comp_m[i])
+                comp_h[p] = v3add(comp_h[p], comp_h[i])
+                comp_I[p] = [[add(comp_I[p][a][b], comp_I[i][a][b]) for b in range(3)]
+                             for a in range(3)]
+
+            def momentum(mc, hc, Ic, w, v):
+                """Spatial momentum (L about O, p) of composite for motion (w, v@O)."""
+                L = tuple(add(dot3(Ic[a], w), cross(hc, v)[a]) for a in range(3))
+                P = tuple(add(v3scale(v, mc)[a], cross(w, hc)[a]) for a in range(3))
+                return L, P
+
+            # joint motion axes about O
+            S = []
+            for j in range(nj):
+                S.append((ja[j], cross(ja[j], v3sub(O, jp[j]))))
+            # F (momenta) for joints (their own composite) and base axes (total)
+            Fj = []
+            for j in range(nj):
+                l = j + 1
+                Fj.append(momentum(comp_m[l], comp_h[l], comp_I[l], S[j][0], S[j][1]))
+            e = [(1.0, 0.0, 0.0), (0.0, 1.0, 0.0), (0.0, 0.0, 1.0)]
+            Fb = []
+            for k in range(3):   # base linear axes: w=0, v=e_k
+                Fb.append(momentum(comp_m[0], comp_h[0], comp_I[0], (0.0, 0.0, 0.0), e[k]))
+            for k in range(3):   # base angular axes: w=e_k, v=0
+                Fb.append(momentum(comp_m[0], comp_h[0], comp_I[0], e[k], (0.0, 0.0, 0.0)))
+
+            def pair(Sa, Fb_):
+                Lb, Pb = Fb_
+                return add(dot3(Sa[0], Lb), dot3(Sa[1], Pb))
+
+            M = {}
+            base_S = [((0.0, 0.0, 0.0), e[k]) for k in range(3)] + [
+                (e[k], (0.0, 0.0, 0.0)) for k in range(3)
+            ]
+            for a in range(6):
+                for b2 in range(a, 6):
+                    M[(b2, a)] = pair(base_S[a], Fb[b2])
+            for j in range(nj):
+                col = 6 + j
+                M[(col, col)] = add(pair(S[j], Fj[j]), float(joint_diag[j]))
+                # ancestors of joint j (joints on path of link j+1) + base rows
+                for k in range(nj):
+                    if k != j and anc[j + 1][k]:   # k is ancestor of j
+                        lo, hi = (k, j) if k < j else (j, k)
+                        M[(6 + hi, 6 + lo)] = pair(S[lo], Fj[hi])
+                for a in range(6):
+                    M[(col, a)] = pair(base_S[a], Fj[j])
+
+            def Mget(i2, j2):
+                if i2 < j2:
+                    i2, j2 = j2, i2
+                return M.get((i2, j2), 0.0)
+
+            # ---------------- Cholesky, column-vector form: L cols (nv,8,128)
+            zero_tile = jnp.zeros(SUB, dtype=jnp.float32)
+
+            def col_of_M(j2):
+                vals = []
+                for i2 in range(nv):
+                    v = Mget(i2, j2) if i2 >= j2 else 0.0
+                    vals.append(jnp.broadcast_to(jnp.asarray(v, jnp.float32), SUB) if _isf(v) else v)
+                return jnp.stack(vals)          # (nv, 8, 128)
+
+            Lc = []       # list of (nv, 8, 128) columns
+            Ld_inv = []   # per-column reciprocal of the diagonal
+            for j2 in range(nv):
+                s = col_of_M(j2)
+                for k in range(j2):
+                    s = s - Lc[k] * Lc[k][j2][None]
+                dinv = jax.lax.rsqrt(jnp.maximum(s[j2], 1e-9))
+                Lc.append(s * dinv[None])
+                Ld_inv.append(dinv)
+
+            def fwd_subst(b_list):
+                """Solve L y = b for b given as list of nv tiles → list."""
+                y = []
+                for i2 in range(nv):
+                    s2 = b_list[i2]
+                    if _isf(s2):
+                        s2 = jnp.broadcast_to(jnp.asarray(s2, jnp.float32), SUB)
+                    for k in range(i2):
+                        s2 = s2 - Lc[k][i2] * y[k]
+                    y.append(s2 * Ld_inv[i2])
+                return y
+
+            def bwd_subst(y):
+                x = [None] * nv
+                for i2 in range(nv - 1, -1, -1):
+                    s2 = y[i2]
+                    for k in range(i2 + 1, nv):
+                        s2 = s2 - Lc[i2][k] * x[k]
+                    x[i2] = s2 * Ld_inv[i2]
+                return x
+
+            # ---------------- free velocity
+            rhs = [sub_(0.0, bias[0]), sub_(0.0, bias[1]), sub_(0.0, bias[2]),
+                   sub_(0.0, bias[3]), sub_(0.0, bias[4]), sub_(0.0, bias[5])]
+            for j in range(nj):
+                rhs.append(sub_(tau_j[j], bias[6 + j]))
+            qdd = bwd_subst(fwd_subst(rhs))
+            v_free = [add(qd_s[i2], mul(dt, qdd[i2])) for i2 in range(nv)]
+
+            # ---------------- contact Jacobian (flat ground: n=z, t=x, t=y)
+            # row order per sphere: [normal(z), t1(x), t2(y)]
+            def point_jac_rows(s):
+                # contact point = sphere center projected to the plane — the
+                # same convention as ops/collide.py's Contacts.pos
+                x = (centers[s][0], centers[s][1], ground)
+                l = sph_link[s]
+                rows = {0: [None] * nv, 1: [None] * nv, 2: [None] * nv}
+                rel = v3sub(x, pos[0])
+                # base linear: identity; base angular: -skew(rel)
+                basej = [
+                    [1.0, 0.0, 0.0, 0.0, rel[2], sub_(0.0, rel[1])],
+                    [0.0, 1.0, 0.0, sub_(0.0, rel[2]), 0.0, rel[0]],
+                    [0.0, 0.0, 1.0, rel[1], sub_(0.0, rel[0]), 0.0],
+                ]
+                for d in range(3):
+                    for c in range(6):
+                        rows[d][c] = basej[d][c]
+                for j in range(nj):
+                    if anc[l][j]:
+                        cj = cross(ja[j], v3sub(x, jp[j]))
+                        for d in range(3):
+                            rows[d][6 + j] = cj[d]
+                    else:
+                        for d in range(3):
+                            rows[d][6 + j] = 0.0
+                # reorder to (normal=z, t1=x, t2=y)
+                return rows[2], rows[0], rows[1]
+
+            Jrows = []      # nr rows, each a list of nv scalars
+            targets = []
+            act_rows = []
+            mu_rows = []
+            for s in range(ns):
+                rn, rt1, rt2 = point_jac_rows(s)
+                Jrows += [rn, rt1, rt2]
+                push = jnp.minimum(beta_dt * jnp.maximum(depth[s] - slop, 0.0), maxpush) \
+                    - jnp.maximum(-depth[s], 0.0) / dt
+                targets += [push, 0.0, 0.0]
+                act_rows += [active[s]] * 3
+                mu_rows += [fric] * 3
+
+            # J columns as (nr, 8, 128) values
+            Jcol = []
+            for c in range(nv):
+                vals = []
+                for r in range(nr):
+                    v = Jrows[r][c]
+                    vals.append(jnp.broadcast_to(jnp.asarray(v, jnp.float32), SUB) if _isf(v) else v)
+                Jcol.append(jnp.stack(vals))
+
+            # ---------------- W = L⁻¹ Jᵀ (forward substitution on columns)
+            W = []
+            for i2 in range(nv):
+                s2 = Jcol[i2]
+                for k in range(i2):
+                    s2 = s2 - Lc[k][i2][None] * W[k]
+                W.append(s2 * Ld_inv[i2][None])
+
+            # A = WᵀW + cfm I : (nr, nr, 8, 128)
+            A = W[0][:, None] * W[0][None, :]
+            for i2 in range(1, nv):
+                A = A + W[i2][:, None] * W[i2][None, :]
+            # cfm regularization on the diagonal via iota (no array consts)
+            ri = jax.lax.broadcasted_iota(jnp.int32, (nr, nr, 1, 1), 0)
+            ci = jax.lax.broadcasted_iota(jnp.int32, (nr, nr, 1, 1), 1)
+            A = A + cfm * (ri == ci).astype(jnp.float32)
+
+            # c = J v_free − target
+            cvec = []
+            for r in range(nr):
+                s2 = 0.0
+                for c2 in range(nv):
+                    s2 = madd(s2, Jrows[r][c2], v_free[c2])
+                s2 = sub_(s2, targets[r])
+                cvec.append(s2 if not _isf(s2) else jnp.broadcast_to(jnp.asarray(s2, jnp.float32), SUB))
+            resid0 = jnp.stack(cvec)                      # (nr, 8, 128)
+
+            # ---------------- PGS sweeps (fori over iterations)
+            diag = jnp.maximum(jnp.stack([A[r, r] for r in range(nr)]), 1e-9)
+            # one-hot row selectors — Mosaic has no scatter, so row updates
+            # are arithmetic: lam += onehot_r · Δ. Built in-kernel via iota
+            # (Pallas kernels cannot capture array constants).
+            row_ids = jax.lax.broadcasted_iota(jnp.int32, (nr, 1, 1), 0)
+            onehot = [(row_ids == r).astype(jnp.float32) for r in range(nr)]
+
+            def sweep(_, carry):
+                lam, resid = carry
+
+                def row_update(lam, resid, r, new):
+                    d = new - lam[r]
+                    lam = lam + onehot[r] * d[None]
+                    resid = resid + A[:, r] * d[None]
+                    return lam, resid
+
+                for s in range(ns):
+                    b0 = 3 * s
+                    new = jnp.maximum(0.0, lam[b0] - resid[b0] / diag[b0]) * act_rows[b0]
+                    lam, resid = row_update(lam, resid, b0, new)
+                    bound = mu_rows[b0] * lam[b0]
+                    for t in (b0 + 1, b0 + 2):
+                        new = jnp.clip(lam[t] - resid[t] / diag[t], -bound, bound) * act_rows[t]
+                        lam, resid = row_update(lam, resid, t, new)
+                return lam, resid
+
+            lam0 = jnp.zeros((nr,) + SUB, dtype=jnp.float32)
+            lam, _ = jax.lax.fori_loop(0, iters, sweep, (lam0, resid0))
+
+            # ---------------- velocity update: qd' = v_free + L⁻ᵀ(Wλ)
+            u = [jnp.sum(W[i2] * lam, axis=0) for i2 in range(nv)]
+            dv = bwd_subst(u)
+            # velocity hard cap — must mirror ops/integrate.MAX_VEL
+            qd_n = [jnp.clip(add(v_free[i2], dv[i2]), -100.0, 100.0) for i2 in range(nv)]
+
+            # ---------------- integrate + joint limits
+            bp_n = [add(bp[k], mul(dt, qd_n[k])) for k in range(3)]
+            wmag = 0.5 * dt
+            hx, hy, hz = mul(qd_n[3], wmag), mul(qd_n[4], wmag), mul(qd_n[5], wmag)
+            theta = jnp.sqrt(hx * hx + hy * hy + hz * hz + 1e-24)
+            sc = jnp.sin(theta) / theta
+            dq = (jnp.cos(theta), hx * sc, hy * sc, hz * sc)
+            bq_n = qmul(dq, tuple(bq))
+            qn2 = jax.lax.rsqrt(
+                bq_n[0] * bq_n[0] + bq_n[1] * bq_n[1] + bq_n[2] * bq_n[2] + bq_n[3] * bq_n[3]
+            )
+            bq_n = tuple(mul(c, qn2) for c in bq_n)
+            qj_n = []
+            qdj_n = []
+            for j in range(nj):
+                raw = add(qj[j], mul(dt, qd_n[6 + j]))
+                cl = jnp.clip(raw, float(lim_lo[j]), float(lim_hi[j]))
+                hitlim = (cl != raw)
+                qj_n.append(cl)
+                qdj_n.append(jnp.where(hitlim, 0.0, qd_n[6 + j]))
+            q_out = list(bp_n) + list(bq_n) + qj_n
+            qd_out = [qd_n[k] for k in range(6)] + qdj_n
+            nimp = [lam[3 * s] for s in range(ns)]
+            return q_out, qd_out, depth, nimp
+
+        q_s = [q_ref[c] for c in range(nq)]
+        qd_s = [qd_ref[c] for c in range(nv)]
+        if n_sub == 1:
+            q_s, qd_s, depth, nimp = one_substep(q_s, qd_s)
+        else:
+            # loop substeps via fori so the kernel body is traced ONCE
+            zt = jnp.zeros(SUB, dtype=jnp.float32)
+
+            def body(_, carry):
+                q_c, qd_c, _d, _n = carry
+                q_n, qd_n, d_n, n_n = one_substep(list(q_c), list(qd_c))
+                return tuple(q_n), tuple(qd_n), tuple(d_n), tuple(n_n)
+
+            init = (tuple(q_s), tuple(qd_s), (zt,) * ns, (zt,) * ns)
+            q_s, qd_s, depth, nimp = jax.lax.fori_loop(0, n_sub, body, init)
+
+        for c in range(nq):
+            qo_ref[c] = q_s[c]
+        for c in range(nv):
+            qdo_ref[c] = qd_s[c]
+        for s in range(ns):
+            depth_ref[s] = depth[s]
+            nimp_ref[s] = nimp[s]
+
+    # ------------------------------------------------------------ host side
+    def reshape_in(x, C):
+        # (B, C) → (C, B/128, 128)
+        B = x.shape[0]
+        return x.T.reshape(C, B // 128, 128)
+
+    def reshape_out(x, C):
+        B = x.shape[1] * x.shape[2]
+        return x.reshape(C, B).T
+
+    @jax.jit
+    def substep_batched(q, qd, tau, ground_z, friction):
+        B = q.shape[0]
+        if B % TILE != 0:
+            raise ValueError(f"batch {B} must be a multiple of {TILE}")
+        grid = (B // TILE,)
+
+        def spec(C):
+            return pl.BlockSpec((C, 8, 128), lambda i: (0, i, 0), memory_space=pltpu.VMEM)
+
+        out = pl.pallas_call(
+            kernel,
+            grid=grid,
+            in_specs=[spec(nq), spec(nv), spec(nj), spec(1), spec(1)],
+            out_specs=[spec(nq), spec(nv), spec(ns), spec(ns)],
+            out_shape=[
+                jax.ShapeDtypeStruct((nq, B // 128, 128), jnp.float32),
+                jax.ShapeDtypeStruct((nv, B // 128, 128), jnp.float32),
+                jax.ShapeDtypeStruct((ns, B // 128, 128), jnp.float32),
+                jax.ShapeDtypeStruct((ns, B // 128, 128), jnp.float32),
+            ],
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=100 * 1024 * 1024,
+            ),
+            interpret=interpret,
+        )(
+            reshape_in(q, nq),
+            reshape_in(qd, nv),
+            reshape_in(tau, nj),
+            reshape_in(ground_z[:, None], 1),
+            reshape_in(friction[:, None], 1),
+        )
+        qo, qdo, depth, nimp = out
+        return (
+            reshape_out(qo, nq),
+            reshape_out(qdo, nv),
+            reshape_out(depth, ns),
+            reshape_out(nimp, ns),
+        )
+
+    return substep_batched

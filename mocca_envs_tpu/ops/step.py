@@ -258,19 +258,13 @@ def make_control_step(
     if actuation is None:
         actuation = lambda q, qd, a: a  # raw joint torques
 
+    llc_unit = _make_llc_unit(model, config, substep)
+
     def control_step(q, qd, action, scene: Scene, grab_active=None, grab_target=None):
         def llc_frame(carry, _):
             q, qd, _info = carry
             tau_j = actuation(q, qd, action)
-
-            def sim(carry2, _):
-                q, qd, _ = carry2
-                q, qd, info = substep(q, qd, tau_j, scene, grab_active, grab_target)
-                return (q, qd, info), None
-
-            (q, qd, info), _ = jax.lax.scan(
-                sim, (q, qd, _info), None, length=config.sim_substeps
-            )
+            q, qd, info = llc_unit(q, qd, tau_j, scene, grab_active, grab_target)
             return (q, qd, info), None
 
         init = (q, qd, _zero_info(model))
@@ -280,3 +274,83 @@ def make_control_step(
         return q, qd, info
 
     return control_step
+
+
+def _make_llc_unit(model: RobotModel, config: EngineConfig, substep):
+    """One llc frame = ``sim_substeps`` physics substeps at fixed torques.
+
+    When the fused Pallas kernel covers this configuration and we are
+    compiling for TPU, the per-env function carries a ``custom_vmap`` rule
+    that dispatches the WHOLE vmapped batch to the kernel
+    (ops/pallas/engine.py) — so ``jax.vmap(env.step)`` transparently runs
+    fused. Any other case (CPU tests, equality constraints, stone scenes,
+    batch not a tile multiple) uses the JAX path.
+    """
+
+    def jax_unit(q, qd, tau_j, scene, grab_active=None, grab_target=None):
+        def sim(carry, _):
+            q, qd, _ = carry
+            q, qd, info = substep(q, qd, tau_j, scene, grab_active, grab_target)
+            return (q, qd, info), None
+
+        (q, qd, info), _ = jax.lax.scan(
+            sim, (q, qd, _zero_info(model)), None, length=config.sim_substeps
+        )
+        return q, qd, info
+
+    use_pallas = config.use_pallas
+    if use_pallas:
+        try:
+            from mocca_envs_tpu.ops.pallas import engine as pallas_engine
+
+            use_pallas = pallas_engine.supports(model) and jax.default_backend() == "tpu"
+        except Exception:  # pragma: no cover - pallas unavailable
+            use_pallas = False
+    if not use_pallas:
+        return jax_unit
+
+    from jax.custom_batching import custom_vmap
+
+    from mocca_envs_tpu.ops.pallas import engine as pallas_engine
+
+    fused = pallas_engine.make_pallas_substep(model, config)
+    TILE = pallas_engine.TILE
+
+    def _scene_of(ground_z, friction):
+        return Scene(ground_z=ground_z, friction=friction)
+
+    def _base(q, qd, tau_j, ground_z, friction):
+        qq, dd, info = jax_unit(q, qd, tau_j, _scene_of(ground_z, friction))
+        return qq, dd, info.contacts.depth, info.normal_impulse
+
+    unit = custom_vmap(_base)
+
+    @unit.def_vmap
+    def _rule(axis_size, in_batched, q, qd, tau_j, ground_z, friction):
+        assert all(in_batched), "fused path expects fully batched state"
+        if axis_size % TILE == 0:
+            out = fused(q, qd, tau_j, ground_z, friction)
+        else:
+            out = jax.vmap(_base)(q, qd, tau_j, ground_z, friction)
+        return out, (True, True, True, True)
+
+    def pallas_unit(q, qd, tau_j, scene: Scene, grab_active=None, grab_target=None):
+        qq, dd, depth, nimp = unit(q, qd, tau_j, scene.ground_z, scene.friction)
+        contacts = collide_mod.Contacts(
+            pos=jnp.zeros((model.ns, 3), dtype=qq.dtype),
+            normal=jnp.broadcast_to(
+                jnp.array([0.0, 0.0, 1.0], dtype=qq.dtype), (model.ns, 3)
+            ),
+            depth=depth,
+            link=model.sph_link,
+            active=(depth > -config.contact_margin).astype(qq.dtype),
+        )
+        info = StepInfo(
+            contacts=contacts,
+            normal_impulse=nimp,
+            foot_contact=collide_mod.foot_contact_flags(model, contacts),
+            link_contact=collide_mod.link_contact_mask(model, contacts),
+        )
+        return qq, dd, info
+
+    return pallas_unit

@@ -39,6 +39,11 @@ class EngineConfig:
     cfm: float = 1e-6               # constraint force mixing (A-diag reg.)
     contact_margin: float = 0.02    # rows activate within this distance [m]
     gravity: tuple = (0.0, 0.0, -9.8)  # pybullet default, SURVEY.md §2.3
+    # Use the fused Pallas substep kernel (ops/pallas/engine.py) when the
+    # configuration supports it AND the default backend is TPU AND the
+    # vmapped batch is a multiple of its tile; transparently falls back to
+    # the JAX path otherwise (CPU tests, odd batches, constrained models).
+    use_pallas: bool = True
 
     @property
     def control_dt(self) -> float:

@@ -177,13 +177,25 @@ def supports(model: RobotModel, constraints=None, scene_has_stones=False) -> boo
     return model.floating and all(t == REVOLUTE for t in model.jtype)
 
 
-def make_pallas_substep(model: RobotModel, config: EngineConfig, interpret: bool = False):
-    """Build ``substep(q, qd, tau, ground_z, friction) → (q', qd', depth, nimp)``
-    running ``config.sim_substeps`` fused physics substeps on TPU.
+def make_pallas_substep(
+    model: RobotModel,
+    config: EngineConfig,
+    interpret: bool = False,
+    num_stones: int = 0,
+):
+    """Build the fused substep running ``config.sim_substeps`` physics
+    substeps on TPU.
+
+    Flat signature:   ``substep(q, qd, tau, ground_z, friction)``
+    Stones (K > 0):   ``substep(q, qd, tau, ground_z, friction,
+                                stone_pos (B,K,3), stone_quat (B,K,4),
+                                stone_half (B,K,3), stone_active (B,K))``
+    Returns ``(q', qd', depth (B,ns), normal_impulse (B,ns))``.
 
     ``interpret=True`` runs the kernel in the Pallas interpreter (CPU) — the
     equivalence-test path against the JAX oracle."""
     assert supports(model), "unsupported model for the fused kernel"
+    K = int(num_stones)
     nl, nj = model.nl, model.nj
     nv, nq = model.nv, model.nq
     ns = model.ns
@@ -222,8 +234,19 @@ def make_pallas_substep(model: RobotModel, config: EngineConfig, interpret: bool
         I = inertia_c[l]
         return [[float(I[i, j]) for j in range(3)] for i in range(3)]
 
-    def kernel(q_ref, qd_ref, tau_ref, gz_ref, fric_ref,
-               qo_ref, qdo_ref, depth_ref, nimp_ref):
+    def kernel(q_ref, qd_ref, tau_ref, gz_ref, fric_ref, *rest):
+        if K > 0:
+            stone_ref = rest[0]
+            out_refs = rest[1:]
+            # stone data rows: per stone k, components [p(3), q(4), h(3), act]
+            st = lambda c: jnp.stack([stone_ref[k * 11 + c] for k in range(K)])
+            stp = (st(0), st(1), st(2))        # (K, 8, 128) each
+            stq = (st(3), st(4), st(5), st(6))
+            sth = (st(7), st(8), st(9))
+            sta = st(10)
+        else:
+            out_refs = rest
+        qo_ref, qdo_ref, depth_ref, nimp_ref = out_refs
         ground = gz_ref[0]
         fric = fric_ref[0]
         tau_in = [tau_ref[j] for j in range(nj)]
@@ -265,11 +288,73 @@ def make_pallas_substep(model: RobotModel, config: EngineConfig, interpret: bool
             com_w = [v3add(pos[l], mat_vec(R[l], com_c[l])) for l in range(nl)]
             Iw = [rot_inertia(R[l], inertia_rows(l)) for l in range(nl)]
 
-            # ---------------- collide: spheres vs ground plane z = ground
+            # ---------------- collide: spheres vs ground plane (∪ stone boxes)
             centers = [v3add(pos[sph_link[s]], mat_vec(R[sph_link[s]], sph_pos_c[s]))
                        for s in range(ns)]
-            depth = [sub_(sph_r[s], sub_(centers[s][2], ground)) for s in range(ns)]
+            depth = []
+            normal = []   # per-sphere contact normal (v3; floats when flat)
+            cpoint = []   # per-sphere contact point
+            for s in range(ns):
+                c = centers[s]
+                d_g = sub_(sph_r[s], sub_(c[2], ground))
+                n_g = (0.0, 0.0, 1.0)
+                x_g = (c[0], c[1], ground)
+                if K == 0:
+                    depth.append(d_g)
+                    normal.append(n_g)
+                    cpoint.append(x_g)
+                    continue
+                # sphere vs K boxes, vectorized over the stone axis
+                cb = (c[0][None], c[1][None], c[2][None])     # broadcast (1,8,128)
+                rel = v3sub(cb, stp)
+                qc = (stq[0], -stq[1], -stq[2], -stq[3])
+                dl = qrot(qc, rel)                            # center in box frame
+                cl = tuple(jnp.clip(dl[a], -sth[a], sth[a]) for a in range(3))
+                delta = v3sub(dl, cl)
+                dist = jnp.sqrt(dot3(delta, delta) + 1e-18)
+                outside = dist > 1e-6
+                fd = tuple(sth[a] - jnp.abs(dl[a]) for a in range(3))
+                fmin = jnp.minimum(jnp.minimum(fd[0], fd[1]), fd[2])
+                n_in = tuple(
+                    jnp.sign(dl[a]) * (fd[a] <= fmin).astype(jnp.float32)
+                    for a in range(3)
+                )
+                n_loc = tuple(
+                    jnp.where(outside, delta[a] / dist, n_in[a]) for a in range(3)
+                )
+                d_k = jnp.where(outside, sph_r[s] - dist, sph_r[s] + fmin)
+                d_k = jnp.where(sta > 0.5, d_k, -1e9)
+                surf = tuple(
+                    jnp.where(outside, cl[a], dl[a] + n_loc[a] * fmin)
+                    for a in range(3)
+                )
+                n_w = qrot(stq, n_loc)
+                x_w = v3add(stp, qrot(stq, surf))
+                best = jnp.max(d_k, axis=0)
+                oh = (d_k == best).astype(jnp.float32)
+                cnt = jnp.maximum(jnp.sum(oh, axis=0), 1.0)
+                sel = lambda comp: jnp.sum(comp * oh, axis=0) / cnt
+                take_g = d_g > best
+                depth.append(jnp.where(take_g, d_g, best))
+                normal.append(tuple(
+                    jnp.where(take_g, n_g[a], sel(n_w[a])) for a in range(3)
+                ))
+                cpoint.append(tuple(
+                    jnp.where(take_g, x_g[a], sel(x_w[a])) for a in range(3)
+                ))
             active = [(depth[s] > -margin).astype(jnp.float32) for s in range(ns)]
+
+            def tangent_frame(n):
+                """Duff ONB, componentized; constant-folds for the flat case."""
+                if all(_isf(c) for c in n):   # flat ground: n = +z
+                    return (1.0, 0.0, 0.0), (0.0, 1.0, 0.0)
+                nx, ny, nz = n
+                sign = jnp.where(nz >= 0.0, 1.0, -1.0)
+                a = -1.0 / (sign + nz)
+                b = nx * ny * a
+                t1 = (1.0 + sign * nx * nx * a, sign * b, -sign * nx)
+                t2 = (b, sign + ny * ny * a, -ny)
+                return t1, t2
 
             # ---------------- passive + applied joint torques
             tau_j = [
@@ -432,42 +517,33 @@ def make_pallas_substep(model: RobotModel, config: EngineConfig, interpret: bool
             qdd = bwd_subst(fwd_subst(rhs))
             v_free = [add(qd_s[i2], mul(dt, qdd[i2])) for i2 in range(nv)]
 
-            # ---------------- contact Jacobian (flat ground: n=z, t=x, t=y)
-            # row order per sphere: [normal(z), t1(x), t2(y)]
-            def point_jac_rows(s):
-                # contact point = sphere center projected to the plane — the
-                # same convention as ops/collide.py's Contacts.pos
-                x = (centers[s][0], centers[s][1], ground)
+            # ---------------- contact Jacobian rows (generic normal/tangents)
+            def point_jac_cols(s):
+                """Columns of the point Jacobian at the contact point: one
+                v3 per dof (velocity of the point per unit dof rate)."""
+                x = cpoint[s]
                 l = sph_link[s]
-                rows = {0: [None] * nv, 1: [None] * nv, 2: [None] * nv}
                 rel = v3sub(x, pos[0])
-                # base linear: identity; base angular: -skew(rel)
-                basej = [
-                    [1.0, 0.0, 0.0, 0.0, rel[2], sub_(0.0, rel[1])],
-                    [0.0, 1.0, 0.0, sub_(0.0, rel[2]), 0.0, rel[0]],
-                    [0.0, 0.0, 1.0, rel[1], sub_(0.0, rel[0]), 0.0],
-                ]
-                for d in range(3):
-                    for c in range(6):
-                        rows[d][c] = basej[d][c]
+                e = [(1.0, 0.0, 0.0), (0.0, 1.0, 0.0), (0.0, 0.0, 1.0)]
+                cols = [e[0], e[1], e[2]]
+                cols += [cross(e[k], rel) for k in range(3)]
                 for j in range(nj):
                     if anc[l][j]:
-                        cj = cross(ja[j], v3sub(x, jp[j]))
-                        for d in range(3):
-                            rows[d][6 + j] = cj[d]
+                        cols.append(cross(ja[j], v3sub(x, jp[j])))
                     else:
-                        for d in range(3):
-                            rows[d][6 + j] = 0.0
-                # reorder to (normal=z, t1=x, t2=y)
-                return rows[2], rows[0], rows[1]
+                        cols.append((0.0, 0.0, 0.0))
+                return cols
 
             Jrows = []      # nr rows, each a list of nv scalars
             targets = []
             act_rows = []
             mu_rows = []
             for s in range(ns):
-                rn, rt1, rt2 = point_jac_rows(s)
-                Jrows += [rn, rt1, rt2]
+                cols = point_jac_cols(s)
+                t1, t2 = tangent_frame(normal[s])
+                Jrows.append([dot3(normal[s], cols[c]) for c in range(nv)])
+                Jrows.append([dot3(t1, cols[c]) for c in range(nv)])
+                Jrows.append([dot3(t2, cols[c]) for c in range(nv)])
                 push = jnp.minimum(beta_dt * jnp.maximum(depth[s] - slop, 0.0), maxpush) \
                     - jnp.maximum(-depth[s], 0.0) / dt
                 targets += [push, 0.0, 0.0]
@@ -606,7 +682,7 @@ def make_pallas_substep(model: RobotModel, config: EngineConfig, interpret: bool
         return x.reshape(C, B).T
 
     @jax.jit
-    def substep_batched(q, qd, tau, ground_z, friction):
+    def substep_batched(q, qd, tau, ground_z, friction, *stones):
         B = q.shape[0]
         if B % TILE != 0:
             raise ValueError(f"batch {B} must be a multiple of {TILE}")
@@ -615,10 +691,27 @@ def make_pallas_substep(model: RobotModel, config: EngineConfig, interpret: bool
         def spec(C):
             return pl.BlockSpec((C, 8, 128), lambda i: (0, i, 0), memory_space=pltpu.VMEM)
 
+        in_specs = [spec(nq), spec(nv), spec(nj), spec(1), spec(1)]
+        inputs = [
+            reshape_in(q, nq),
+            reshape_in(qd, nv),
+            reshape_in(tau, nj),
+            reshape_in(ground_z[:, None], 1),
+            reshape_in(friction[:, None], 1),
+        ]
+        if K > 0:
+            stone_pos, stone_quat, stone_half, stone_active = stones
+            packed = jnp.concatenate(
+                [stone_pos, stone_quat, stone_half, stone_active[:, :, None]],
+                axis=2,
+            )                                  # (B, K, 11)
+            inputs.append(reshape_in(packed.reshape(B, K * 11), K * 11))
+            in_specs.append(spec(K * 11))
+
         out = pl.pallas_call(
             kernel,
             grid=grid,
-            in_specs=[spec(nq), spec(nv), spec(nj), spec(1), spec(1)],
+            in_specs=in_specs,
             out_specs=[spec(nq), spec(nv), spec(ns), spec(ns)],
             out_shape=[
                 jax.ShapeDtypeStruct((nq, B // 128, 128), jnp.float32),
@@ -630,13 +723,7 @@ def make_pallas_substep(model: RobotModel, config: EngineConfig, interpret: bool
                 vmem_limit_bytes=100 * 1024 * 1024,
             ),
             interpret=interpret,
-        )(
-            reshape_in(q, nq),
-            reshape_in(qd, nv),
-            reshape_in(tau, nj),
-            reshape_in(ground_z[:, None], 1),
-            reshape_in(friction[:, None], 1),
-        )
+        )(*inputs)
         qo, qdo, depth, nimp = out
         return (
             reshape_out(qo, nq),

@@ -313,29 +313,60 @@ def _make_llc_unit(model: RobotModel, config: EngineConfig, substep):
 
     from mocca_envs_tpu.ops.pallas import engine as pallas_engine
 
-    fused = pallas_engine.make_pallas_substep(model, config)
     TILE = pallas_engine.TILE
+    _units: dict = {}   # num_stones → custom_vmap'd llc unit
 
-    def _scene_of(ground_z, friction):
-        return Scene(ground_z=ground_z, friction=friction)
+    def _get_unit(num_stones: int):
+        if num_stones in _units:
+            return _units[num_stones]
+        fused = pallas_engine.make_pallas_substep(
+            model, config, num_stones=num_stones
+        )
 
-    def _base(q, qd, tau_j, ground_z, friction):
-        qq, dd, info = jax_unit(q, qd, tau_j, _scene_of(ground_z, friction))
-        return qq, dd, info.contacts.depth, info.normal_impulse
+        if num_stones == 0:
 
-    unit = custom_vmap(_base)
+            def _base(q, qd, tau_j, ground_z, friction):
+                sc = Scene(ground_z=ground_z, friction=friction)
+                qq, dd, info = jax_unit(q, qd, tau_j, sc)
+                return qq, dd, info.contacts.depth, info.normal_impulse
 
-    @unit.def_vmap
-    def _rule(axis_size, in_batched, q, qd, tau_j, ground_z, friction):
-        assert all(in_batched), "fused path expects fully batched state"
-        if axis_size % TILE == 0:
-            out = fused(q, qd, tau_j, ground_z, friction)
         else:
-            out = jax.vmap(_base)(q, qd, tau_j, ground_z, friction)
-        return out, (True, True, True, True)
+
+            def _base(q, qd, tau_j, ground_z, friction, sp, sq, sh, sa):
+                sc = Scene(
+                    has_ground=True, has_stones=True,
+                    ground_z=ground_z, friction=friction,
+                    stone_pos=sp, stone_quat=sq, stone_half=sh, stone_active=sa,
+                )
+                qq, dd, info = jax_unit(q, qd, tau_j, sc)
+                return qq, dd, info.contacts.depth, info.normal_impulse
+
+        unit = custom_vmap(_base)
+
+        @unit.def_vmap
+        def _rule(axis_size, in_batched, *args):
+            assert all(in_batched), "fused path expects fully batched state"
+            if axis_size % TILE == 0:
+                out = fused(*args)
+            else:
+                out = jax.vmap(_base)(*args)
+            return out, (True, True, True, True)
+
+        _units[num_stones] = unit
+        return unit
 
     def pallas_unit(q, qd, tau_j, scene: Scene, grab_active=None, grab_target=None):
-        qq, dd, depth, nimp = unit(q, qd, tau_j, scene.ground_z, scene.friction)
+        if scene.has_stones:
+            ksize = scene.stone_pos.shape[-2]
+            unit = _get_unit(ksize)
+            qq, dd, depth, nimp = unit(
+                q, qd, tau_j, scene.ground_z, scene.friction,
+                scene.stone_pos, scene.stone_quat, scene.stone_half,
+                scene.stone_active,
+            )
+        else:
+            unit = _get_unit(0)
+            qq, dd, depth, nimp = unit(q, qd, tau_j, scene.ground_z, scene.friction)
         contacts = collide_mod.Contacts(
             pos=jnp.zeros((model.ns, 3), dtype=qq.dtype),
             normal=jnp.broadcast_to(

@@ -1,0 +1,64 @@
+"""Native + fallback terrain generation gates, and heightfield physics."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from mocca_envs_tpu.terrain.heightfield import (
+    _native_lib,
+    fractal_heightfield,
+    with_heightfield,
+)
+from mocca_envs_tpu.terrain.scene import hf_normal, hf_sample
+
+
+def test_fallback_terrain_shape_and_determinism():
+    h1 = fractal_heightfield(65, seed=3, use_native=False)
+    h2 = fractal_heightfield(65, seed=3, use_native=False)
+    np.testing.assert_array_equal(h1, h2)
+    assert h1.shape == (65, 65)
+    assert abs(float(h1.mean())) < 1e-5
+    assert float(h1.std()) > 0.01  # actually has relief
+
+
+def test_native_terrain_builds_and_is_deterministic():
+    if _native_lib() is None:
+        pytest.skip("native toolchain unavailable")
+    h1 = fractal_heightfield(129, seed=7)
+    h2 = fractal_heightfield(129, seed=7)
+    h3 = fractal_heightfield(129, seed=8)
+    np.testing.assert_array_equal(h1, h2)
+    assert not np.allclose(h1, h3)
+    assert abs(float(h1.mean())) < 1e-4
+    assert float(h1.std()) > 0.01
+
+
+def test_heightfield_sampling_and_normals():
+    h = fractal_heightfield(65, seed=1, use_native=False)
+    scene = with_heightfield(h, extent=10.0)
+    # sample at grid points reproduces grid values
+    xy = jnp.array([-5.0, -5.0])  # grid [0,0]
+    np.testing.assert_allclose(float(hf_sample(scene, xy)), h[0, 0], atol=1e-5)
+    n = hf_normal(scene, jnp.zeros(2))
+    assert abs(float(jnp.linalg.norm(n)) - 1.0) < 1e-5
+    assert float(n[2]) > 0.2  # mostly-up normal for walkable terrain
+
+
+def test_ball_rolls_on_heightfield():
+    from mocca_envs_tpu.ops.step import make_substep
+    from mocca_envs_tpu.utils.config import EngineConfig
+    from tests.models_util import ball, free_q, free_qd
+
+    model = ball(radius=0.1)
+    h = fractal_heightfield(65, amplitude=0.3, seed=5, use_native=False)
+    scene = with_heightfield(h, extent=20.0)
+    sub = jax.jit(make_substep(model, EngineConfig(use_pallas=False)))
+    q = jnp.asarray(free_q(pos=(0.0, 0.0, 1.5)))
+    qd = jnp.asarray(free_qd())
+    for _ in range(500):
+        q, qd, info = sub(q, qd, jnp.zeros(model.nj), scene)
+    assert bool(jnp.all(jnp.isfinite(q)))
+    # settled on the surface: center ≈ surface + radius (tolerant: slopes)
+    surf = float(hf_sample(scene, q[0:2]))
+    assert abs(float(q[2]) - surf - 0.1) < 0.08

@@ -210,18 +210,29 @@ def make_pallas_substep(
     iters = int(config.solver_iters)
     gx, gy, gz_acc = (float(g) for g in config.gravity)
 
-    # ---- host-side constants from the model
+    # ---- host-side constants from the model. NOTE: convert whole arrays to
+    # numpy FIRST — this builder may run lazily inside an active trace
+    # (step.py builds the stones variant on first stepper trace), where any
+    # jnp op (even indexing a concrete array) would stage a tracer.
     parent = model.parent
-    jq_c = [tuple(float(v) for v in np.asarray(model.joint_quat[j])) for j in range(nj)]
-    jax_c = [_const_v3(np.asarray(model.joint_axis[j])) for j in range(nj)]
-    jpos_c = [_const_v3(np.asarray(model.joint_pos[j])) for j in range(nj)]
-    com_c = [_const_v3(np.asarray(model.com[l])) for l in range(nl)]
-    mass_c = [float(model.mass[l]) for l in range(nl)]
-    inertia_c = [np.asarray(model.inertia[l], dtype=np.float64) for l in range(nl)]
+    _jq = np.asarray(model.joint_quat)
+    _jaxis = np.asarray(model.joint_axis)
+    _jpos = np.asarray(model.joint_pos)
+    _com = np.asarray(model.com)
+    _mass = np.asarray(model.mass)
+    _inertia = np.asarray(model.inertia)
+    _sph_pos = np.asarray(model.sph_pos)
+    _sph_r = np.asarray(model.sph_radius)
+    jq_c = [tuple(float(v) for v in _jq[j]) for j in range(nj)]
+    jax_c = [_const_v3(_jaxis[j]) for j in range(nj)]
+    jpos_c = [_const_v3(_jpos[j]) for j in range(nj)]
+    com_c = [_const_v3(_com[l]) for l in range(nl)]
+    mass_c = [float(_mass[l]) for l in range(nl)]
+    inertia_c = [np.asarray(_inertia[l], dtype=np.float64) for l in range(nl)]
     anc = np.asarray(model.anc) > 0.5                      # (nl, nj) bools
     sph_link = [int(v) for v in np.asarray(model.sph_link)]
-    sph_pos_c = [_const_v3(np.asarray(model.sph_pos[s])) for s in range(ns)]
-    sph_r = [float(model.sph_radius[s]) for s in range(ns)]
+    sph_pos_c = [_const_v3(_sph_pos[s]) for s in range(ns)]
+    sph_r = [float(_sph_r[s]) for s in range(ns)]
     damping_c = np.asarray(model.damping, dtype=np.float64)
     stiffness_c = np.asarray(model.stiffness, dtype=np.float64)
     springref_c = np.asarray(model.spring_ref, dtype=np.float64)

@@ -36,13 +36,15 @@ def _arm(b: ModelBuilder, side: str, sign: float) -> None:
     b.add_link(
         f"{s}_shoulder_y", f"{s}_shoulder_x",
         joint_pos=(0.0, 0.0, 0.0), joint_axis=(0, 1, 0),
-        limit=(-3.1, 3.1), mass=0.9, com=(0, 0, -0.13),
+        # brachiator shoulders circumduct fully; a tight limit here fights
+        # the grab constraint via the limit projection (velocity zeroing)
+        limit=(-6.3, 6.3), mass=0.9, com=(0, 0, -0.13),
         inertia_diag=(0.006, 0.006, 0.001), power_coef=30.0, armature=0.008,
     )
     b.add_link(
         f"{s}_elbow", f"{s}_shoulder_y",
         joint_pos=(0.0, 0.0, -0.26), joint_axis=(0, 1, 0),
-        limit=(-2.6, 0.0), mass=0.7, com=(0, 0, -0.13),
+        limit=(-2.9, 0.3), mass=0.7, com=(0, 0, -0.13),
         inertia_diag=(0.005, 0.005, 8e-4), power_coef=25.0, armature=0.006,
     )
     b.add_sphere(f"{s}_elbow", PALM_OFFSET, 0.035, foot=f"{s}_hand")

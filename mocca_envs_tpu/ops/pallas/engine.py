@@ -169,11 +169,13 @@ def _const_v3(arr):
 
 
 def supports(model: RobotModel, constraints=None, scene_has_stones=False) -> bool:
-    """Whether the fused kernel covers this configuration (else JAX path)."""
-    if constraints is not None and getattr(constraints, "ne", 0) != 0:
-        return False
-    if scene_has_stones:
-        return False
+    """Whether the fused kernel covers this configuration (else JAX path).
+
+    Covers: floating all-revolute models; p2p rods, planar locks and
+    runtime grab constraints; flat ∪ stone-box scenes. (Heightfield scenes
+    and fixed-base rigs stay on the JAX path.)
+    """
+    del constraints, scene_has_stones  # all supported now
     return model.floating and all(t == REVOLUTE for t in model.jtype)
 
 
@@ -182,24 +184,38 @@ def make_pallas_substep(
     config: EngineConfig,
     interpret: bool = False,
     num_stones: int = 0,
+    constraints=None,
+    extra_damping=None,
 ):
     """Build the fused substep running ``config.sim_substeps`` physics
     substeps on TPU.
 
-    Flat signature:   ``substep(q, qd, tau, ground_z, friction)``
-    Stones (K > 0):   ``substep(q, qd, tau, ground_z, friction,
-                                stone_pos (B,K,3), stone_quat (B,K,4),
-                                stone_half (B,K,3), stone_active (B,K))``
-    Returns ``(q', qd', depth (B,ns), normal_impulse (B,ns))``.
+    Signature (in input order):
+        ``substep(q, qd, tau, ground_z, friction
+                  [, stone_pos (B,K,3), stone_quat (B,K,4),
+                     stone_half (B,K,3), stone_active (B,K)]   # K > 0
+                  [, grab_active (B,ng), grab_target (B,ng,3)] # ng > 0
+        ) → (q', qd', depth (B,ns), normal_impulse (B,ns))``
 
+    ``constraints`` (ops/step.ConstraintSpec) adds equality rows: permanent
+    point-to-point rods (Cassie achilles), planar base locks (2D variants)
+    and maskable world-anchor grabs (monkey). ``extra_damping`` (nj,) is the
+    implicitly-integrated actuator damping (Cassie PD servo k_d).
     ``interpret=True`` runs the kernel in the Pallas interpreter (CPU) — the
     equivalence-test path against the JAX oracle."""
     assert supports(model), "unsupported model for the fused kernel"
     K = int(num_stones)
+    from mocca_envs_tpu.ops.step import ConstraintSpec
+
+    spec = constraints or ConstraintSpec()
+    n_p2p = spec.num_p2p
+    planar = bool(spec.planar)
+    ng = int(spec.num_grabs)
+    ne = spec.ne
     nl, nj = model.nl, model.nj
     nv, nq = model.nv, model.nq
     ns = model.ns
-    nr = 3 * ns
+    nr = ne + 3 * ns
     dt = float(config.dt)
     n_sub = int(config.sim_substeps)
     beta_dt = float(config.baumgarte) / dt
@@ -234,6 +250,8 @@ def make_pallas_substep(
     sph_pos_c = [_const_v3(_sph_pos[s]) for s in range(ns)]
     sph_r = [float(_sph_r[s]) for s in range(ns)]
     damping_c = np.asarray(model.damping, dtype=np.float64)
+    if extra_damping is not None:
+        damping_c = damping_c + np.asarray(extra_damping, dtype=np.float64)
     stiffness_c = np.asarray(model.stiffness, dtype=np.float64)
     springref_c = np.asarray(model.spring_ref, dtype=np.float64)
     armature_c = np.asarray(model.armature, dtype=np.float64)
@@ -245,19 +263,38 @@ def make_pallas_substep(
         I = inertia_c[l]
         return [[float(I[i, j]) for j in range(3)] for i in range(3)]
 
+    # equality-constraint constants
+    p2p_c = [
+        (
+            int(spec.p2p_link_a[k]), _const_v3(np.asarray(spec.p2p_anchor_a[k])),
+            int(spec.p2p_link_b[k]), _const_v3(np.asarray(spec.p2p_anchor_b[k])),
+        )
+        for k in range(n_p2p)
+    ]
+    grab_c = [
+        (int(spec.grab_links[g]), _const_v3(np.asarray(spec.grab_anchors[g])))
+        for g in range(ng)
+    ]
+
     def kernel(q_ref, qd_ref, tau_ref, gz_ref, fric_ref, *rest):
+        rest = list(rest)
         if K > 0:
-            stone_ref = rest[0]
-            out_refs = rest[1:]
+            stone_ref = rest.pop(0)
             # stone data rows: per stone k, components [p(3), q(4), h(3), act]
             st = lambda c: jnp.stack([stone_ref[k * 11 + c] for k in range(K)])
             stp = (st(0), st(1), st(2))        # (K, 8, 128) each
             stq = (st(3), st(4), st(5), st(6))
             sth = (st(7), st(8), st(9))
             sta = st(10)
-        else:
-            out_refs = rest
-        qo_ref, qdo_ref, depth_ref, nimp_ref = out_refs
+        if ng > 0:
+            grab_ref = rest.pop(0)
+            # per grab g: [active, target_x, target_y, target_z]
+            g_act = [grab_ref[g * 4] for g in range(ng)]
+            g_tgt = [
+                (grab_ref[g * 4 + 1], grab_ref[g * 4 + 2], grab_ref[g * 4 + 3])
+                for g in range(ng)
+            ]
+        qo_ref, qdo_ref, depth_ref, nimp_ref = rest
         ground = gz_ref[0]
         fric = fric_ref[0]
         tau_in = [tau_ref[j] for j in range(nj)]
@@ -528,12 +565,10 @@ def make_pallas_substep(
             qdd = bwd_subst(fwd_subst(rhs))
             v_free = [add(qd_s[i2], mul(dt, qdd[i2])) for i2 in range(nv)]
 
-            # ---------------- contact Jacobian rows (generic normal/tangents)
-            def point_jac_cols(s):
-                """Columns of the point Jacobian at the contact point: one
-                v3 per dof (velocity of the point per unit dof rate)."""
-                x = cpoint[s]
-                l = sph_link[s]
+            # ---------------- constraint rows: [equality (ne) | contacts]
+            def jac_cols(l, x):
+                """Columns of the point Jacobian at world point ``x`` on
+                link ``l``: one v3 per dof."""
                 rel = v3sub(x, pos[0])
                 e = [(1.0, 0.0, 0.0), (0.0, 1.0, 0.0), (0.0, 0.0, 1.0)]
                 cols = [e[0], e[1], e[2]]
@@ -545,12 +580,56 @@ def make_pallas_substep(
                         cols.append((0.0, 0.0, 0.0))
                 return cols
 
+            def eq_target(err):
+                return jnp.clip(-beta_dt * err, -maxpush, maxpush)
+
             Jrows = []      # nr rows, each a list of nv scalars
             targets = []
             act_rows = []
             mu_rows = []
+
+            # permanent point-to-point rods (Cassie achilles, behavior B3)
+            for (la, aa, lb, ab) in p2p_c:
+                xa = v3add(pos[la], mat_vec(R[la], aa))
+                xb = v3add(pos[lb], mat_vec(R[lb], ab))
+                ca = jac_cols(la, xa)
+                cb = jac_cols(lb, xb)
+                for d in range(3):
+                    Jrows.append([sub_(ca[c][d], cb[c][d]) for c in range(nv)])
+                    targets.append(eq_target(sub_(xa[d], xb[d])))
+                    act_rows.append(1.0)
+                    mu_rows.append(0.0)
+
+            # planar base lock (2D variants): y-translation, roll, yaw rates
+            if planar:
+                bw_q = quat[0]
+                w_, x_, y_, z_ = bw_q
+                roll = jnp.arctan2(
+                    2.0 * (w_ * x_ + y_ * z_), 1.0 - 2.0 * (x_ * x_ + y_ * y_)
+                )
+                yaw = jnp.arctan2(
+                    2.0 * (w_ * z_ + x_ * y_), 1.0 - 2.0 * (y_ * y_ + z_ * z_)
+                )
+                for col_idx, err in ((1, pos[0][1]), (3, roll), (5, yaw)):
+                    row = [0.0] * nv
+                    row[col_idx] = 1.0
+                    Jrows.append(row)
+                    targets.append(eq_target(err))
+                    act_rows.append(1.0)
+                    mu_rows.append(0.0)
+
+            # maskable world-anchor grabs (monkey, behavior B8)
+            for g, (lg, ag) in enumerate(grab_c):
+                xg = v3add(pos[lg], mat_vec(R[lg], ag))
+                cg = jac_cols(lg, xg)
+                for d in range(3):
+                    Jrows.append([cg[c][d] for c in range(nv)])
+                    targets.append(eq_target(sub_(xg[d], g_tgt[g][d])))
+                    act_rows.append(g_act[g])
+                    mu_rows.append(0.0)
+
             for s in range(ns):
-                cols = point_jac_cols(s)
+                cols = jac_cols(sph_link[s], cpoint[s])
                 t1, t2 = tangent_frame(normal[s])
                 Jrows.append([dot3(normal[s], cols[c]) for c in range(nv)])
                 Jrows.append([dot3(t1, cols[c]) for c in range(nv)])
@@ -614,8 +693,12 @@ def make_pallas_substep(
                     resid = resid + A[:, r] * d[None]
                     return lam, resid
 
+                # equality rows: unbounded impulses, activity-masked
+                for r in range(ne):
+                    new = (lam[r] - resid[r] / diag[r]) * act_rows[r]
+                    lam, resid = row_update(lam, resid, r, new)
                 for s in range(ns):
-                    b0 = 3 * s
+                    b0 = ne + 3 * s
                     new = jnp.maximum(0.0, lam[b0] - resid[b0] / diag[b0]) * act_rows[b0]
                     lam, resid = row_update(lam, resid, b0, new)
                     bound = mu_rows[b0] * lam[b0]
@@ -655,7 +738,7 @@ def make_pallas_substep(
                 qdj_n.append(jnp.where(hitlim, 0.0, qd_n[6 + j]))
             q_out = list(bp_n) + list(bq_n) + qj_n
             qd_out = [qd_n[k] for k in range(6)] + qdj_n
-            nimp = [lam[3 * s] for s in range(ns)]
+            nimp = [lam[ne + 3 * s] for s in range(ns)]
             return q_out, qd_out, depth, nimp
 
         q_s = [q_ref[c] for c in range(nq)]
@@ -693,7 +776,7 @@ def make_pallas_substep(
         return x.reshape(C, B).T
 
     @jax.jit
-    def substep_batched(q, qd, tau, ground_z, friction, *stones):
+    def substep_batched(q, qd, tau, ground_z, friction, *extra):
         B = q.shape[0]
         if B % TILE != 0:
             raise ValueError(f"batch {B} must be a multiple of {TILE}")
@@ -710,14 +793,23 @@ def make_pallas_substep(
             reshape_in(ground_z[:, None], 1),
             reshape_in(friction[:, None], 1),
         ]
+        ei = 0
         if K > 0:
-            stone_pos, stone_quat, stone_half, stone_active = stones
+            stone_pos, stone_quat, stone_half, stone_active = extra[0:4]
+            ei = 4
             packed = jnp.concatenate(
                 [stone_pos, stone_quat, stone_half, stone_active[:, :, None]],
                 axis=2,
             )                                  # (B, K, 11)
             inputs.append(reshape_in(packed.reshape(B, K * 11), K * 11))
             in_specs.append(spec(K * 11))
+        if ng > 0:
+            g_active, g_target = extra[ei:ei + 2]
+            packed_g = jnp.concatenate(
+                [g_active[:, :, None], g_target], axis=2
+            )                                  # (B, ng, 4)
+            inputs.append(reshape_in(packed_g.reshape(B, ng * 4), ng * 4))
+            in_specs.append(spec(ng * 4))
 
         out = pl.pallas_call(
             kernel,

@@ -79,7 +79,9 @@ def pgs_solve(
                 )
         return lam, r
 
-    lam0 = jnp.zeros(nr, dtype=A.dtype)
+    # zeros_like (not zeros): under shard_map the carry must match c's
+    # varying-axes type, or the fori_loop carry typecheck fails
+    lam0 = jnp.zeros_like(c)
     lam, _ = jax.lax.fori_loop(0, iters, sweep, (lam0, c))
     return lam
 

@@ -258,25 +258,27 @@ def make_control_step(
     if actuation is None:
         actuation = lambda q, qd, a: a  # raw joint torques
 
-    llc_unit = _make_llc_unit(model, config, substep)
+    llc_unit = _make_llc_unit(model, config, substep, constraints, extra_damping)
 
     def control_step(q, qd, action, scene: Scene, grab_active=None, grab_target=None):
         def llc_frame(carry, _):
-            q, qd, _info = carry
+            q, qd = carry
             tau_j = actuation(q, qd, action)
             q, qd, info = llc_unit(q, qd, tau_j, scene, grab_active, grab_target)
-            return (q, qd, info), None
+            return (q, qd), info
 
-        init = (q, qd, _zero_info(model))
-        (q, qd, info), _ = jax.lax.scan(
-            llc_frame, init, None, length=config.llc_frames
+        (q, qd), infos = jax.lax.scan(
+            llc_frame, (q, qd), None, length=config.llc_frames
         )
+        info = jax.tree.map(lambda x: x[-1], infos)
         return q, qd, info
 
     return control_step
 
 
-def _make_llc_unit(model: RobotModel, config: EngineConfig, substep):
+def _make_llc_unit(model: RobotModel, config: EngineConfig, substep,
+                   constraints: ConstraintSpec = ConstraintSpec(),
+                   extra_damping=None):
     """One llc frame = ``sim_substeps`` physics substeps at fixed torques.
 
     When the fused Pallas kernel covers this configuration and we are
@@ -289,13 +291,14 @@ def _make_llc_unit(model: RobotModel, config: EngineConfig, substep):
 
     def jax_unit(q, qd, tau_j, scene, grab_active=None, grab_target=None):
         def sim(carry, _):
-            q, qd, _ = carry
+            q, qd = carry
             q, qd, info = substep(q, qd, tau_j, scene, grab_active, grab_target)
-            return (q, qd, info), None
+            return (q, qd), info
 
-        (q, qd, info), _ = jax.lax.scan(
-            sim, (q, qd, _zero_info(model)), None, length=config.sim_substeps
+        (q, qd), infos = jax.lax.scan(
+            sim, (q, qd), None, length=config.sim_substeps
         )
+        info = jax.tree.map(lambda x: x[-1], infos)
         return q, qd, info
 
     use_pallas = config.use_pallas
@@ -303,7 +306,10 @@ def _make_llc_unit(model: RobotModel, config: EngineConfig, substep):
         try:
             from mocca_envs_tpu.ops.pallas import engine as pallas_engine
 
-            use_pallas = pallas_engine.supports(model) and jax.default_backend() == "tpu"
+            use_pallas = (
+                pallas_engine.supports(model, constraints)
+                and jax.default_backend() == "tpu"
+            )
         except Exception:  # pragma: no cover - pallas unavailable
             use_pallas = False
     if not use_pallas:
@@ -314,32 +320,64 @@ def _make_llc_unit(model: RobotModel, config: EngineConfig, substep):
     from mocca_envs_tpu.ops.pallas import engine as pallas_engine
 
     TILE = pallas_engine.TILE
+    has_grabs = constraints.num_grabs > 0
     _units: dict = {}   # num_stones → custom_vmap'd llc unit
 
     def _get_unit(num_stones: int):
         if num_stones in _units:
             return _units[num_stones]
         fused = pallas_engine.make_pallas_substep(
-            model, config, num_stones=num_stones
+            model, config, num_stones=num_stones,
+            constraints=constraints, extra_damping=extra_damping,
         )
 
-        if num_stones == 0:
+        def _scene(ground_z, friction, stones=()):
+            if not stones:
+                return Scene(ground_z=ground_z, friction=friction)
+            sp, sq, sh, sa = stones
+            return Scene(
+                has_ground=True, has_stones=True,
+                ground_z=ground_z, friction=friction,
+                stone_pos=sp, stone_quat=sq, stone_half=sh, stone_active=sa,
+            )
+
+        if num_stones == 0 and not has_grabs:
 
             def _base(q, qd, tau_j, ground_z, friction):
-                sc = Scene(ground_z=ground_z, friction=friction)
-                qq, dd, info = jax_unit(q, qd, tau_j, sc)
+                qq, dd, info = jax_unit(q, qd, tau_j, _scene(ground_z, friction))
+                return qq, dd, info.contacts.depth, info.normal_impulse
+
+        elif num_stones == 0 and has_grabs:
+
+            def _base(q, qd, tau_j, ground_z, friction, ga, gt):
+                qq, dd, info = jax_unit(
+                    q, qd, tau_j, _scene(ground_z, friction), ga, gt
+                )
+                return qq, dd, info.contacts.depth, info.normal_impulse
+
+        elif not has_grabs:
+
+            def _base(q, qd, tau_j, ground_z, friction, sp, sq, sh, sa):
+                qq, dd, info = jax_unit(
+                    q, qd, tau_j, _scene(ground_z, friction, (sp, sq, sh, sa))
+                )
                 return qq, dd, info.contacts.depth, info.normal_impulse
 
         else:
 
-            def _base(q, qd, tau_j, ground_z, friction, sp, sq, sh, sa):
-                sc = Scene(
-                    has_ground=True, has_stones=True,
-                    ground_z=ground_z, friction=friction,
-                    stone_pos=sp, stone_quat=sq, stone_half=sh, stone_active=sa,
+            def _base(q, qd, tau_j, ground_z, friction, sp, sq, sh, sa, ga, gt):
+                qq, dd, info = jax_unit(
+                    q, qd, tau_j, _scene(ground_z, friction, (sp, sq, sh, sa)),
+                    ga, gt,
                 )
-                qq, dd, info = jax_unit(q, qd, tau_j, sc)
                 return qq, dd, info.contacts.depth, info.normal_impulse
+
+        def _fused_call(*args):
+            if has_grabs:
+                # fused kernel wants grabs packed as (B, ng, 4)
+                *rest, ga, gt = args
+                return fused(*rest, ga, gt)
+            return fused(*args)
 
         unit = custom_vmap(_base)
 
@@ -347,7 +385,7 @@ def _make_llc_unit(model: RobotModel, config: EngineConfig, substep):
         def _rule(axis_size, in_batched, *args):
             assert all(in_batched), "fused path expects fully batched state"
             if axis_size % TILE == 0:
-                out = fused(*args)
+                out = _fused_call(*args)
             else:
                 out = jax.vmap(_base)(*args)
             return out, (True, True, True, True)
@@ -356,17 +394,20 @@ def _make_llc_unit(model: RobotModel, config: EngineConfig, substep):
         return unit
 
     def pallas_unit(q, qd, tau_j, scene: Scene, grab_active=None, grab_target=None):
+        grabs = (grab_active, grab_target) if has_grabs else ()
         if scene.has_stones:
             ksize = scene.stone_pos.shape[-2]
             unit = _get_unit(ksize)
             qq, dd, depth, nimp = unit(
                 q, qd, tau_j, scene.ground_z, scene.friction,
                 scene.stone_pos, scene.stone_quat, scene.stone_half,
-                scene.stone_active,
+                scene.stone_active, *grabs,
             )
         else:
             unit = _get_unit(0)
-            qq, dd, depth, nimp = unit(q, qd, tau_j, scene.ground_z, scene.friction)
+            qq, dd, depth, nimp = unit(
+                q, qd, tau_j, scene.ground_z, scene.friction, *grabs
+            )
         contacts = collide_mod.Contacts(
             pos=jnp.zeros((model.ns, 3), dtype=qq.dtype),
             normal=jnp.broadcast_to(

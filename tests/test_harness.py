@@ -1,0 +1,138 @@
+"""Harness gates: parity record/replay, PPO update, sharded training,
+checkpoint/resume, metrics, debug utilities (SURVEY.md §4.4/§5)."""
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import mocca_envs_tpu
+from mocca_envs_tpu.harness import parity
+from mocca_envs_tpu.harness.checkpoint import CheckpointManager
+from mocca_envs_tpu.harness.metrics import aggregate, merge_means
+from mocca_envs_tpu.harness.ppo import PPOConfig, PPOLearner
+from mocca_envs_tpu.parallel.mesh import env_mesh
+from mocca_envs_tpu.parallel.sharded import sharded_env, sharded_init
+from mocca_envs_tpu.utils.debug import finite_fraction
+
+
+@pytest.fixture(scope="module")
+def env():
+    return mocca_envs_tpu.make("Walker3DCustomEnv")
+
+
+@pytest.fixture(scope="module")
+def model():
+    from mocca_envs_tpu.models import walker3d
+
+    return walker3d.make_model()
+
+
+# ------------------------------------------------------------------ parity
+def test_parity_record_replay_roundtrip(env, model, tmp_path):
+    """The interchange machinery must prove determinism on our own goldens
+    (SURVEY.md §7.4): record → save → load → replay → zero error."""
+    rec = parity.record(env, model, seed=5, horizon=12)
+    path = str(tmp_path / "golden.npz")
+    rec.save(path)
+    rec2 = parity.Recording.load(path)
+    assert rec2.meta["seed"] == 5
+    assert rec2.meta["model_hash"] == parity.model_hash(model)
+    result = parity.replay_check(env, model, rec2)
+    assert result["ok"], result
+    assert result["max_q_err"] < 1e-6, result
+    assert result["max_reward_err"] < 1e-6, result
+
+
+def test_parity_detects_mismatch(env, model, tmp_path):
+    rec = parity.record(env, model, seed=6, horizon=8)
+    rec.q[3:] += 0.5  # corrupt the golden
+    result = parity.replay_check(env, model, rec)
+    assert not result["ok"]
+
+
+# ------------------------------------------------------------------ PPO
+def test_ppo_single_device_update(env):
+    cfg = PPOConfig(horizon=8, num_epochs=1, num_minibatches=2, hidden=(32, 32))
+    learner = PPOLearner(env, cfg, mesh=None, num_envs=16)
+    state = learner.init(seed=0)
+    p0 = jax.tree.leaves(state.params)[0].copy()
+    state, metrics = learner.train_step(state)
+    assert float(finite_fraction(state.params)) == 1.0
+    assert "pg_loss" in metrics and np.isfinite(float(metrics["pg_loss"]))
+    p1 = jax.tree.leaves(state.params)[0]
+    assert not np.allclose(p0, p1)  # the update actually moved params
+
+
+def test_ppo_sharded_update_matches_devices(env):
+    mesh = env_mesh()
+    assert mesh.size == 8  # conftest forces 8 virtual cpu devices
+    cfg = PPOConfig(horizon=4, num_epochs=1, num_minibatches=1, hidden=(16, 16))
+    learner = PPOLearner(env, cfg, mesh=mesh, num_envs=32)
+    state = learner.init(seed=1)
+    state, metrics = learner.train_step(state)
+    assert np.isfinite(float(metrics["reward_per_step"]))
+    # params remain replicated (psum'd grads): fetch is consistent
+    leaf = jax.tree.leaves(state.params)[0]
+    assert bool(jnp.all(jnp.isfinite(leaf)))
+
+
+# ------------------------------------------------------------------ sharding
+def test_sharded_env_step_matches_unsharded(env):
+    mesh = env_mesh()
+    B = 16
+    state = sharded_init(env, mesh, B, seed=0)
+    step = sharded_env(env, mesh)
+    actions = jnp.zeros((B, env.act_dim))
+    tr = step(state, actions)
+
+    from mocca_envs_tpu.core import rng as rng_mod
+
+    keys = rng_mod.env_keys(rng_mod.root_key(0), B)
+    state2 = jax.jit(jax.vmap(env.init))(keys)
+    tr2 = jax.jit(jax.vmap(env.step))(state2, actions)
+    np.testing.assert_allclose(
+        np.asarray(tr.obs), np.asarray(tr2.obs), rtol=2e-4, atol=1e-5
+    )
+
+
+def test_shard_mapped_env_runs(env):
+    from mocca_envs_tpu.parallel.sharded import shard_mapped_env
+
+    mesh = env_mesh()
+    B = 16
+    state = sharded_init(env, mesh, B, seed=3)
+    step = shard_mapped_env(env, mesh)
+    tr = step(state, jnp.zeros((B, env.act_dim)))
+    assert tr.obs.shape == (B, env.obs_dim)
+
+
+# ------------------------------------------------------------------ ckpt
+def test_checkpoint_roundtrip(env, tmp_path):
+    cfg = PPOConfig(horizon=4, num_epochs=1, num_minibatches=1, hidden=(16, 16))
+    learner = PPOLearner(env, cfg, mesh=None, num_envs=8)
+    state = learner.init(seed=2)
+    state, _ = learner.train_step(state)
+
+    mgr = CheckpointManager(str(tmp_path / "ckpt"))
+    mgr.save(1, state)
+    mgr.wait()
+    assert mgr.latest_step() == 1
+    restored = mgr.restore(state)
+    for a, b in zip(jax.tree.leaves(state.params), jax.tree.leaves(restored.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    np.testing.assert_array_equal(
+        np.asarray(state.env_state.q), np.asarray(restored.env_state.q)
+    )
+    mgr.close()
+
+
+# ------------------------------------------------------------------ metrics
+def test_metrics_aggregation():
+    m = {"a": jnp.arange(6.0).reshape(2, 3), "b": jnp.ones((2, 3))}
+    agg = aggregate(m)
+    assert float(agg["a"]) == 2.5 and float(agg["b"]) == 1.0
+    merged = merge_means([{"x": 1.0}, {"x": 3.0}])
+    assert merged["x"] == 2.0

@@ -71,6 +71,46 @@ def test_pallas_matches_jax_substep():
 
 
 @pytest.mark.slow
+def test_pallas_constraints_match_jax_substep():
+    """Equality rows (p2p rod, planar lock, grab) vs the JAX oracle."""
+    from mocca_envs_tpu.ops.step import ConstraintSpec
+
+    model = hopper()
+    B = TILE
+    q, qd = _random_states(model, B, jax.random.key(9))
+    tau = 0.2 * jax.random.normal(jax.random.key(10), (B, model.nj))
+    gz = jnp.zeros(B)
+    fric = jnp.full((B,), 0.8)
+
+    leg = model.link_names.index("leg")
+    spec = ConstraintSpec(
+        p2p_link_a=(0,), p2p_link_b=(leg,),
+        p2p_anchor_a=((0.2, 0.0, -0.3),), p2p_anchor_b=((0.15, 0.0, -0.1),),
+        planar=True,
+        num_grabs=1, grab_links=(leg,), grab_anchors=((0.0, 0.0, -0.5),),
+    )
+    ga = (jnp.arange(B) % 2).astype(jnp.float32)[:, None]       # half attached
+    gt = jnp.tile(jnp.array([[0.1, 0.0, 0.2]]), (B, 1))[:, None, :]
+
+    pal = make_pallas_substep(model, CFG, interpret=True, constraints=spec)
+    q_p, qd_p, depth_p, nimp_p = pal(q, qd, tau, gz, fric, ga, gt)
+
+    sub = make_substep(model, CFG, constraints=spec)
+    scene = scene_mod.flat()
+
+    def jax_path(q1, qd1, t1, ga1, gt1):
+        qq, dd = q1, qd1
+        for _ in range(CFG.sim_substeps):
+            qq, dd, info = sub(qq, dd, t1, scene, ga1, gt1)
+        return qq, dd, info.contacts.depth, info.normal_impulse
+
+    q_j, qd_j, depth_j, nimp_j = jax.vmap(jax_path)(q, qd, tau, ga, gt)
+    np.testing.assert_allclose(np.asarray(q_p), np.asarray(q_j), atol=5e-4)
+    np.testing.assert_allclose(np.asarray(qd_p), np.asarray(qd_j), atol=2e-2)
+    np.testing.assert_allclose(np.asarray(depth_p), np.asarray(depth_j), atol=5e-4)
+
+
+@pytest.mark.slow
 def test_pallas_stones_matches_jax_substep():
     """Stone-box narrowphase + generic friction frames vs the JAX oracle."""
     model = hopper()

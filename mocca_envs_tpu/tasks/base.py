@@ -107,3 +107,69 @@ def joints_at_limit_cost(model: RobotModel, q: jnp.ndarray, w: jnp.ndarray):
     """Count of joints within 1% of their limits, weighted (B5)."""
     q_scaled, _ = joint_obs(model, q, jnp.zeros_like(q))
     return w * jnp.sum((jnp.abs(q_scaled) > 0.99).astype(q.dtype))
+
+
+def mirror_spec(model: RobotModel, extra_obs_perm=None, extra_obs_sign=None):
+    """Left/right mirror maps for symmetry-aware RL.
+
+    Reconstructs the reference's mirror-index accessors
+    (``robots.py`` mirror arrays consumed by symmetry-augmented training —
+    SURVEY.md §2.1 C5 [K-med]) for the standard obs layout
+    ``[body(8), q_scaled(nj), 0.1·q̇(nj), feet(nfeet), extra…]``:
+
+    - body block: sin(α), v_y, roll negate under y-reflection;
+    - joint blocks: permute via the model's left/right joint map with signs
+      (x/z hinges negate);
+    - feet flags: swap left/right;
+    - ``extra_obs_perm``/``sign`` append task-specific tail maps.
+
+    Returns dict with ``obs_perm``, ``obs_sign``, ``act_perm``, ``act_sign``
+    — apply as ``obs_m = obs[obs_perm] * obs_sign``.
+    """
+    import numpy as np
+
+    nj = model.nj
+    nfeet = len(model.foot_links)
+    jp = np.asarray(model.mirror_act_perm)
+    js = np.asarray(model.mirror_act_sign)
+
+    perm = list(range(8))
+    sign = [1.0, -1.0, 1.0, 1.0, -1.0, 1.0, -1.0, 1.0]  # sinα, vy, roll flip
+    base = 8
+    perm += list(base + jp)
+    sign += list(js)
+    base += nj
+    perm += list(base + jp)
+    sign += list(js)
+    base += nj
+    # feet flags: swap right/left pairs (foot order is right, left per side)
+    foot_perm = list(range(nfeet))
+    for i, name in enumerate(model.foot_links):
+        if name.startswith("right_"):
+            other = name.replace("right_", "left_")
+        elif name.startswith("left_"):
+            other = name.replace("left_", "right_")
+        else:
+            other = name
+        if other in model.foot_links:
+            foot_perm[i] = model.foot_links.index(other)
+    perm += [base + p for p in foot_perm]
+    sign += [1.0] * nfeet
+    base += nfeet
+    if extra_obs_perm is not None:
+        perm += [base + p for p in extra_obs_perm]
+        sign += list(extra_obs_sign)
+    return {
+        "obs_perm": jnp.asarray(np.array(perm, dtype=np.int32)),
+        "obs_sign": jnp.asarray(np.array(sign, dtype=np.float32)),
+        "act_perm": model.mirror_act_perm,
+        "act_sign": model.mirror_act_sign,
+    }
+
+
+def mirror_obs(spec: dict, obs: jnp.ndarray) -> jnp.ndarray:
+    return obs[..., spec["obs_perm"]] * spec["obs_sign"]
+
+
+def mirror_action(spec: dict, action: jnp.ndarray) -> jnp.ndarray:
+    return action[..., spec["act_perm"]] * spec["act_sign"]

@@ -271,5 +271,5 @@ def make_walker3d_custom(
         raw_step=raw_step,
         obs_fn=obs_fn,
         control_dt=config.control_dt,
-        mirror=(model.mirror_act_perm, model.mirror_act_sign),
+        mirror=T.mirror_spec(model),
     )

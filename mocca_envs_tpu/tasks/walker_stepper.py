@@ -239,5 +239,10 @@ def make_walker3d_stepper(
         raw_step=raw_step,
         obs_fn=obs_fn,
         control_dt=config.control_dt,
-        mirror=(model.mirror_act_perm, model.mirror_act_sign),
+        # lookahead targets: Δxyz in heading frame ×2 — y components negate
+        mirror=T.mirror_spec(
+            model,
+            extra_obs_perm=list(range(6)),
+            extra_obs_sign=[1.0, -1.0, 1.0, 1.0, -1.0, 1.0],
+        ),
     )

@@ -51,3 +51,22 @@ def test_child3d_is_smaller_and_lighter():
     assert float(state.q[2]) < 0.55
     tr = jax.jit(env.step)(state, jnp.zeros(env.act_dim))
     assert bool(jnp.all(jnp.isfinite(tr.obs)))
+
+
+def test_mirror_involution():
+    """Mirror maps are involutions: mirror(mirror(x)) == x (C5 symmetry)."""
+    from mocca_envs_tpu.tasks import base as T
+
+    for env_id in ("Walker3DCustomEnv", "Walker3DStepperEnv"):
+        env = mocca_envs_tpu.make(env_id)
+        spec = env.mirror
+        obs = jnp.arange(env.obs_dim, dtype=jnp.float32) / env.obs_dim
+        act = jnp.arange(env.act_dim, dtype=jnp.float32) / env.act_dim
+        np.testing.assert_allclose(
+            T.mirror_obs(spec, T.mirror_obs(spec, obs)), obs, atol=1e-6
+        )
+        np.testing.assert_allclose(
+            T.mirror_action(spec, T.mirror_action(spec, act)), act, atol=1e-6
+        )
+        # mirroring is not the identity (it actually swaps limbs)
+        assert not np.allclose(T.mirror_obs(spec, obs), obs)

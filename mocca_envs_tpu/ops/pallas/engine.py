@@ -600,16 +600,14 @@ def make_pallas_substep(
                     act_rows.append(1.0)
                     mu_rows.append(0.0)
 
-            # planar base lock (2D variants): y-translation, roll, yaw rates
+            # planar base lock (2D variants): y-translation, roll, yaw rates.
+            # Drift error uses the sine surrogates 2(wx+yz), 2(wz+xy) — equal
+            # to the angles to first order on the locked manifold (and Mosaic
+            # has no atan2); ops/step.py uses the same surrogate.
             if planar:
-                bw_q = quat[0]
-                w_, x_, y_, z_ = bw_q
-                roll = jnp.arctan2(
-                    2.0 * (w_ * x_ + y_ * z_), 1.0 - 2.0 * (x_ * x_ + y_ * y_)
-                )
-                yaw = jnp.arctan2(
-                    2.0 * (w_ * z_ + x_ * y_), 1.0 - 2.0 * (y_ * y_ + z_ * z_)
-                )
+                w_, x_, y_, z_ = quat[0]
+                roll = 2.0 * (w_ * x_ + y_ * z_)
+                yaw = 2.0 * (w_ * z_ + x_ * y_)
                 for col_idx, err in ((1, pos[0][1]), (3, roll), (5, yaw)):
                     row = [0.0] * nv
                     row[col_idx] = 1.0

@@ -178,8 +178,12 @@ def make_substep(
             Jp = Jp.at[0, 1].set(1.0)   # base linear y
             Jp = Jp.at[1, 3].set(1.0)   # base angular x (roll rate)
             Jp = Jp.at[2, 5].set(1.0)   # base angular z (yaw rate)
-            rpy = quat_ops.to_rpy(q[3:7])
-            err = jnp.stack([q[1], rpy[0], rpy[2]])
+            # roll/yaw drift via sine surrogates (first-order-exact on the
+            # locked manifold; matches the fused kernel, which has no atan2)
+            w_, x_, y_, z_ = q[3], q[4], q[5], q[6]
+            err = jnp.stack(
+                [q[1], 2.0 * (w_ * x_ + y_ * z_), 2.0 * (w_ * z_ + x_ * y_)]
+            )
             rows_J.append(Jp)
             rows_tgt.append(_eq_target(err))
             rows_act.append(jnp.ones(3, dtype=q.dtype))

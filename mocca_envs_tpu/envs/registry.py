@@ -25,11 +25,16 @@ def registered_envs() -> tuple[str, ...]:
     return tuple(sorted(_REGISTRY))
 
 
+_DEFAULT_CACHE: dict[str, object] = {}
+
+
 def make(env_id: str, **kwargs):
     """Instantiate a batched functional env by reference-compatible ID.
 
     Accepts the reference's gym IDs (``Walker3DCustomEnv-v0`` …) with or
-    without the ``-v0`` suffix.
+    without the ``-v0`` suffix. Default-config envs are cached so repeated
+    ``make`` calls share one set of (compiled-once) step closures — jit
+    caches key on function identity, so rebuilding closures would recompile.
     """
     _ensure_populated()
     key = env_id if env_id in _REGISTRY else env_id.removesuffix("-v0")
@@ -37,6 +42,10 @@ def make(env_id: str, **kwargs):
         raise KeyError(
             f"unknown env id {env_id!r}; known: {', '.join(sorted(_REGISTRY))}"
         )
+    if not kwargs:
+        if key not in _DEFAULT_CACHE:
+            _DEFAULT_CACHE[key] = _REGISTRY[key]()
+        return _DEFAULT_CACHE[key]
     return _REGISTRY[key](**kwargs)
 
 

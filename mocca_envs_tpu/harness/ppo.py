@@ -49,6 +49,41 @@ class PPOConfig:
     ent_coef: float = 0.0
     max_grad_norm: float = 0.5
     hidden: tuple = (256, 256)
+    # running observation normalization (globally psum-merged across shards)
+    # — the walker obs mix scales from ±0.05 potentials to ±10 velocities;
+    # without it the critic cannot fit the return scale
+    normalize_obs: bool = True
+    # learner-side reward scaling (env rewards untouched; the reference
+    # ecosystem's trainers scaled rewards similarly)
+    reward_scale: float = 1.0
+
+
+class RunningNorm(struct.PyTreeNode):
+    """Welford running mean/var over observation dims."""
+
+    mean: jnp.ndarray
+    var: jnp.ndarray
+    count: jnp.ndarray
+
+    @classmethod
+    def init(cls, dim: int) -> "RunningNorm":
+        return cls(
+            mean=jnp.zeros(dim), var=jnp.ones(dim), count=jnp.asarray(1e-4)
+        )
+
+    def normalize(self, x: jnp.ndarray) -> jnp.ndarray:
+        return jnp.clip(
+            (x - self.mean) / jnp.sqrt(self.var + 1e-8), -10.0, 10.0
+        )
+
+    def update(self, bmean, bvar, bcount) -> "RunningNorm":
+        delta = bmean - self.mean
+        tot = self.count + bcount
+        mean = self.mean + delta * (bcount / tot)
+        m_a = self.var * self.count
+        m_b = bvar * bcount
+        m2 = m_a + m_b + jnp.square(delta) * (self.count * bcount / tot)
+        return RunningNorm(mean=mean, var=m2 / tot, count=tot)
 
 
 class ActorCritic(nn.Module):
@@ -94,6 +129,7 @@ class TrainState(struct.PyTreeNode):
     obs: jnp.ndarray
     key: jax.Array
     update_count: jnp.ndarray
+    obs_norm: RunningNorm
 
 
 def gae(traj: Trajectory, last_value, gamma, lam):
@@ -168,6 +204,7 @@ class PPOLearner:
             obs=obs,
             key=key,
             update_count=jnp.zeros((), jnp.int32),
+            obs_norm=RunningNorm.init(self.env.obs_dim),
         )
 
     # ----------------------------------------------------------------- build
@@ -179,8 +216,12 @@ class PPOLearner:
         n_shards = 1 if self.mesh is None else self.mesh.size
         local_envs = self.num_envs // n_shards
 
-        def policy(params, obs, key):
-            mean, log_std, value = net.apply(params, obs)
+        def _maybe_norm(norm, obs):
+            return norm.normalize(obs) if cfg.normalize_obs else obs
+
+        def policy(params_and_norm, obs, key):
+            params, norm = params_and_norm
+            mean, log_std, value = net.apply(params, _maybe_norm(norm, obs))
             action, log_prob = _gaussian_sample(mean, log_std, key)
             return action, log_prob, value
 
@@ -191,9 +232,9 @@ class PPOLearner:
                 return x
             return jax.lax.pmean(x, ENV_AXIS)
 
-        def loss_fn(params, mb, adv_stats):
+        def loss_fn(params, mb, adv_stats, norm):
             obs, action, old_lp, old_v, adv, ret = mb
-            mean, log_std, value = net.apply(params, obs)
+            mean, log_std, value = net.apply(params, _maybe_norm(norm, obs))
             adv_mean, adv_std = adv_stats
             adv_n = (adv - adv_mean) / (adv_std + 1e-8)
             lp = _gaussian_log_prob(mean, log_std, action)
@@ -209,10 +250,23 @@ class PPOLearner:
             loss = pg_loss + cfg.vf_coef * v_loss - cfg.ent_coef * entropy
             return loss, (pg_loss, v_loss, entropy)
 
-        def update_shard(params, opt_state, env_state, obs, key, shard_key):
-            env_state, obs, key, traj = rollout(params, env_state, obs, key)
-            _, _, last_value = net.apply(params, traj.last_obs)
+        def update_shard(params, opt_state, norm, env_state, obs, key, shard_key):
+            env_state, obs, key, traj = rollout((params, norm), env_state, obs, key)
+            _, _, last_value = net.apply(params, _maybe_norm(norm, traj.last_obs))
+            if cfg.reward_scale != 1.0:
+                traj = traj.replace(reward=traj.reward * cfg.reward_scale)
             adv, ret = gae(traj, last_value, cfg.gamma, cfg.gae_lambda)
+
+            if cfg.normalize_obs:
+                flat_obs = traj.obs.reshape(-1, traj.obs.shape[-1])
+                bmean = pmean(jnp.mean(flat_obs, axis=0))
+                bvar = pmean(jnp.mean(jnp.square(flat_obs - bmean), axis=0))
+                bcount = jnp.asarray(
+                    cfg.horizon * local_envs * n_shards, jnp.float32
+                )
+                new_norm = norm.update(bmean, bvar, bcount)
+            else:
+                new_norm = norm
 
             adv_mean = pmean(jnp.mean(adv))
             adv_sq = pmean(jnp.mean(jnp.square(adv)))
@@ -240,7 +294,7 @@ class PPOLearner:
                         shuffled,
                     )
                     grads, aux = jax.grad(loss_fn, has_aux=True)(
-                        params, mb, (adv_mean, adv_std)
+                        params, mb, (adv_mean, adv_std), norm
                     )
                     grads = jax.tree.map(pmean, grads)
                     updates, opt_state = tx.update(grads, opt_state, params)
@@ -258,23 +312,25 @@ class PPOLearner:
             )
             pg_loss, v_loss, entropy = jax.tree.map(jnp.mean, auxs)
             metrics = {
-                "reward_per_step": pmean(jnp.mean(traj.reward)),
+                "reward_per_step": pmean(
+                    jnp.mean(traj.reward) / max(cfg.reward_scale, 1e-9)
+                ),
                 "episode_done_rate": pmean(jnp.mean(traj.done.astype(jnp.float32))),
                 "pg_loss": pmean(pg_loss),
                 "v_loss": pmean(v_loss),
                 "entropy": entropy,
                 "adv_std": adv_std,
             }
-            return params, opt_state, env_state, obs, key, metrics
+            return params, opt_state, new_norm, env_state, obs, key, metrics
 
         if self.mesh is None:
 
             @functools.partial(jax.jit, donate_argnums=(0,))
             def train_step(state: TrainState):
                 key, sk = jax.random.split(state.key)
-                params, opt_state, env_state, obs, _, metrics = update_shard(
-                    state.params, state.opt_state, state.env_state, state.obs,
-                    key, sk,
+                params, opt_state, norm, env_state, obs, _, metrics = update_shard(
+                    state.params, state.opt_state, state.obs_norm,
+                    state.env_state, state.obs, key, sk,
                 )
                 return (
                     TrainState(
@@ -284,6 +340,7 @@ class PPOLearner:
                         obs=obs,
                         key=key,
                         update_count=state.update_count + 1,
+                        obs_norm=norm,
                     ),
                     metrics,
                 )
@@ -294,26 +351,26 @@ class PPOLearner:
             @functools.partial(
                 jax.shard_map,
                 mesh=mesh,
-                in_specs=(P(), P(), P(ENV_AXIS), P(ENV_AXIS), P()),
-                out_specs=(P(), P(), P(ENV_AXIS), P(ENV_AXIS), P(), P()),
+                in_specs=(P(), P(), P(), P(ENV_AXIS), P(ENV_AXIS), P()),
+                out_specs=(P(), P(), P(), P(ENV_AXIS), P(ENV_AXIS), P(), P()),
                 check_vma=False,
             )
-            def sharded_update(params, opt_state, env_state, obs, key):
+            def sharded_update(params, opt_state, norm, env_state, obs, key):
                 idx = jax.lax.axis_index(ENV_AXIS)
                 key, sk = jax.random.split(key)
                 shard_key = jax.random.fold_in(sk, idx)
-                params, opt_state, env_state, obs, _, metrics = update_shard(
-                    params, opt_state, env_state, obs,
+                params, opt_state, norm, env_state, obs, _, metrics = update_shard(
+                    params, opt_state, norm, env_state, obs,
                     jax.random.fold_in(key, idx), shard_key,
                 )
-                # grads were psum-averaged → params identical across shards
-                return params, opt_state, env_state, obs, key, metrics
+                # grads + norm stats were psum-averaged → replicas identical
+                return params, opt_state, norm, env_state, obs, key, metrics
 
             @functools.partial(jax.jit, donate_argnums=(0,))
             def train_step(state: TrainState):
-                params, opt_state, env_state, obs, key, metrics = sharded_update(
-                    state.params, state.opt_state, state.env_state, state.obs,
-                    state.key,
+                params, opt_state, norm, env_state, obs, key, metrics = sharded_update(
+                    state.params, state.opt_state, state.obs_norm,
+                    state.env_state, state.obs, state.key,
                 )
                 return (
                     TrainState(
@@ -323,6 +380,7 @@ class PPOLearner:
                         obs=obs,
                         key=key,
                         update_count=state.update_count + 1,
+                        obs_norm=norm,
                     ),
                     metrics,
                 )

@@ -1,0 +1,67 @@
+"""Terrain raycast gates: oracle correctness + Pallas kernel equivalence."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from mocca_envs_tpu.ops.pallas.raycast import (
+    TILE,
+    make_raycaster,
+    raycast_reference,
+)
+from mocca_envs_tpu.terrain.heightfield import fractal_heightfield
+
+
+def _flat_hf(n=65, h=0.0):
+    return jnp.full((n, n), h, dtype=jnp.float32)
+
+
+def test_reference_hits_flat_ground():
+    hf = _flat_hf(h=0.0)
+    xy0 = jnp.array([-10.0, -10.0])
+    cell = jnp.asarray(20.0 / 64)
+    B = 8
+    origins = jnp.tile(jnp.array([0.0, 0.0, 1.0]), (B, 1))
+    down45 = jnp.tile(
+        jnp.array([np.sqrt(0.5), 0.0, -np.sqrt(0.5)]), (B, 1)
+    )
+    t, h = raycast_reference(origins, down45, hf, xy0, cell, max_t=5.0, num_steps=200)
+    # hit at t = 1/sin(45°) = √2 from height 1
+    np.testing.assert_allclose(np.asarray(t), np.sqrt(2.0), atol=0.05)
+    np.testing.assert_allclose(np.asarray(h), 0.0, atol=1e-5)
+
+
+def test_reference_miss_returns_max_t():
+    hf = _flat_hf(h=0.0)
+    xy0 = jnp.array([-10.0, -10.0])
+    cell = jnp.asarray(20.0 / 64)
+    origins = jnp.array([[0.0, 0.0, 1.0]])
+    up = jnp.array([[0.0, 0.0, 1.0]])
+    t, _ = raycast_reference(origins, up, hf, xy0, cell, max_t=3.0)
+    assert float(t[0]) == 3.0
+
+
+def test_pallas_kernel_matches_reference_interpret():
+    hf = jnp.asarray(fractal_heightfield(65, amplitude=0.4, seed=2, use_native=False))
+    xy0 = jnp.array([-10.0, -10.0])
+    cell = jnp.asarray(20.0 / 64)
+    B = TILE
+    key = jax.random.key(0)
+    k1, k2 = jax.random.split(key)
+    origins = jnp.stack(
+        [
+            jax.random.uniform(k1, (B,), minval=-5, maxval=5),
+            jax.random.uniform(k2, (B,), minval=-5, maxval=5),
+            jnp.full((B,), 2.0),
+        ],
+        axis=1,
+    )
+    d = jnp.tile(jnp.array([0.3, 0.1, -0.95]), (B, 1))
+    d = d / jnp.linalg.norm(d, axis=1, keepdims=True)
+
+    rc = make_raycaster((65, 65), max_t=6.0, num_steps=48, interpret=True)
+    t_k, h_k = rc(origins, d, hf, xy0, cell)
+    t_r, h_r = raycast_reference(origins, d, hf, xy0, cell, max_t=6.0, num_steps=48)
+    np.testing.assert_allclose(np.asarray(t_k), np.asarray(t_r), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(h_k), np.asarray(h_r), atol=1e-5)

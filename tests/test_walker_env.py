@@ -30,7 +30,7 @@ def test_reset_and_step_shapes(env):
     obs = env.obs_fn(state)
     assert obs.shape == (env.obs_dim,)
     a = jnp.zeros(env.act_dim)
-    tr = env.step(state, a)
+    tr = jax.jit(env.step)(state, a)
     assert tr.obs.shape == (env.obs_dim,)
     assert tr.reward.shape == ()
     assert bool(jnp.isfinite(tr.reward))
@@ -38,12 +38,14 @@ def test_reset_and_step_shapes(env):
 
 def test_seed_determinism(env):
     """Behavior B9: same seed ⇒ identical trajectory."""
+    step = jax.jit(env.step)
+
     def rollout(seed):
         state = env.init(jax.random.key(seed))
         obs_list = []
         for i in range(5):
             a = 0.3 * jnp.sin(jnp.arange(env.act_dim) + i)
-            tr = env.step(state, a)
+            tr = step(state, a)
             state = tr.state
             obs_list.append(tr.obs)
         return jnp.stack(obs_list)
@@ -99,9 +101,10 @@ def test_vmap_matches_single(env):
     bstate = jax.vmap(env.init)(keys)
     a = jnp.tile(jnp.linspace(-0.5, 0.5, env.act_dim)[None], (3, 1))
     btr = jax.vmap(env.step_no_reset)(bstate, a)
+    single = jax.jit(env.step_no_reset)
     for i in range(3):
         s = jax.tree.map(lambda x: x[i], bstate)
-        tr = env.step_no_reset(s, a[i])
+        tr = single(s, a[i])
         np.testing.assert_allclose(btr.obs[i], tr.obs, rtol=2e-4, atol=2e-5)
 
 

@@ -91,7 +91,15 @@ def make_raycaster(
     num_steps: int = 64,
     interpret: bool = False,
 ):
-    """Build ``raycast(origins (B,3), dirs (B,3), hf, xy0, cell) → (t, h)``."""
+    """Build ``raycast(origins (B,3), dirs (B,3), hf, xy0, cell) → (t, h)``.
+
+    NOTE: current Mosaic lacks per-lane vector gather, so the kernel only
+    lowers in interpret mode today; on hardware the builder probes the
+    lowering once and transparently falls back to the jitted XLA oracle
+    (which lowers gathers natively). The kernel stays as the intended
+    implementation for when Mosaic grows dynamic gather (or for a one-hot
+    matmul sampling variant if raycast ever becomes hot).
+    """
     H, W = hf_shape
 
     def _march_tiles(origin, direction, sample):
@@ -143,6 +151,10 @@ def make_raycaster(
         h_ref[0] = h_hit
 
     @jax.jit
+    def reference(origins, directions, hf, xy0, cell):
+        return raycast_reference(origins, directions, hf, xy0, cell, max_t, num_steps)
+
+    @jax.jit
     def raycast(origins, directions, hf, xy0, cell):
         B = origins.shape[0]
         if B % TILE != 0:
@@ -174,4 +186,17 @@ def make_raycaster(
         )(o, d, hf, meta)
         return t.reshape(B), h.reshape(B)
 
-    return raycast
+    if interpret:
+        return raycast
+
+    # probe the Mosaic lowering once; fall back to the XLA oracle if the
+    # kernel cannot lower on this backend (no vector gather yet)
+    try:
+        probe = (
+            jnp.zeros((TILE, 3)), jnp.zeros((TILE, 3)),
+            jnp.zeros((H, W)), jnp.zeros(2), jnp.asarray(0.1),
+        )
+        jax.jit(raycast).lower(*probe).compile()
+        return raycast
+    except Exception:  # pragma: no cover - backend-dependent
+        return reference

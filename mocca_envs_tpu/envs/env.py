@@ -66,7 +66,11 @@ class FnEnv:
     name: str
     obs_dim: int
     act_dim: int
-    reset: Callable[[jax.Array, jnp.ndarray], EnvState]
+    # reset(stream_key, reset_count, prev_state=None): ``prev_state`` is the
+    # terminating state at auto-reset time, letting families carry dynamic
+    # per-env settings (e.g. the stepper's curriculum stage) across episodes
+    # without recompiles; None at first init.
+    reset: Callable
     step: Callable[[EnvState, jnp.ndarray], Transition]
     # step WITHOUT auto-reset — the parity recorder needs terminal frames
     step_no_reset: Callable[[EnvState, jnp.ndarray], Transition]
@@ -111,7 +115,7 @@ def make_fn_env(
         done = tr.done | blowup
         reward = jnp.where(finite, tr.reward, -1.0)
 
-        fresh = reset(state.key, state.reset_count + 1)
+        fresh = reset(state.key, state.reset_count + 1, tr.state)
         fresh = fresh.replace(
             blowup_count=state.blowup_count + blowup.astype(jnp.int32)
         )

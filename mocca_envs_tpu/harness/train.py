@@ -86,6 +86,26 @@ def main(argv=None):
         prof_ctx = trace(args.profile_dir)
         prof_ctx.__enter__()
 
+    # curriculum advancement (reference trainer call, SURVEY.md §3.5):
+    # stepper-family states expose a per-env dynamic stage; advance it when
+    # the batch clears the threshold. Pure data update — no recompilation.
+    def maybe_advance_curriculum(state, metrics):
+        task = getattr(state.env_state, "task", None)
+        if task is None or not hasattr(task, "stage"):
+            return state, None
+        reached = metrics.get("steps_reached")
+        if reached is None or float(reached) < args.curriculum_threshold:
+            return state, float(task.stage.mean())
+        import jax.numpy as jnp
+
+        new_stage = jnp.minimum(task.stage + 1.0, 9.0)
+        state = state.replace(
+            env_state=state.env_state.replace(
+                task=task.replace(stage=new_stage)
+            )
+        )
+        return state, float(new_stage.mean())
+
     t0 = time.time()
     for u in range(start_update, args.updates):
         state, metrics = learner.train_step(state)
@@ -95,6 +115,9 @@ def main(argv=None):
             m["env_steps_per_s"] = steps_per_update * args.log_every / max(
                 time.time() - t0, 1e-9
             )
+            state, stage = maybe_advance_curriculum(state, m)
+            if stage is not None:
+                m["curriculum_stage"] = stage
             t0 = time.time()
             mlog.log(u + 1, m)
         if ckpt is not None and (u + 1) % args.ckpt_every == 0:

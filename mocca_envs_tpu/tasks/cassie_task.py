@@ -145,7 +145,7 @@ def make_cassie(
     def obs_fn(state: EnvState) -> jnp.ndarray:
         return full_obs(state, jnp.zeros((nfeet,), state.q.dtype))
 
-    def reset(key: jax.Array, reset_count) -> EnvState:
+    def reset(key: jax.Array, reset_count, prev: EnvState | None = None) -> EnvState:
         ek = rng_mod.reset_key(key, reset_count)
         kj, kv = jax.random.split(ek)
         qj = stand + params.init_noise * jax.random.uniform(

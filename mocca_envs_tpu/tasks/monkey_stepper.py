@@ -64,6 +64,15 @@ class MonkeyTaskState(struct.PyTreeNode):
     anchor: jnp.ndarray        # (2, 3) world anchor per hand
     hold_bar: jnp.ndarray      # (2,) int32 bar index each hand holds (−1 none)
     potential: jnp.ndarray
+    stage: jnp.ndarray         # per-env curriculum stage (dynamic)
+
+
+def set_stage(state: EnvState, stage) -> EnvState:
+    """Trainer-facing curriculum setter (reference §3.5); next-reset effect."""
+    new = jnp.broadcast_to(
+        jnp.asarray(stage, jnp.float32), state.task.stage.shape
+    )
+    return state.replace(task=state.task.replace(stage=new))
 
 
 def _sample_bars(params: MonkeyParams, key: jax.Array):
@@ -162,10 +171,11 @@ def make_monkey3d_stepper(
                 qj[j] = _HANG_POSE[n]
         return jnp.asarray(qj)
 
-    def reset(key: jax.Array, reset_count) -> EnvState:
+    def reset(key: jax.Array, reset_count, prev: EnvState | None = None) -> EnvState:
         ek = rng_mod.reset_key(key, reset_count)
         kj, kb = jax.random.split(ek)
-        bar_pos, bar_dir = _sample_bars(params, kb)
+        stage = params.stage if prev is None else prev.task.stage
+        bar_pos, bar_dir = _sample_bars(params.replace(stage=stage), kb)
         noise = params.init_noise * jax.random.uniform(
             kj, (model.nj,), minval=-1.0, maxval=1.0
         )
@@ -188,6 +198,7 @@ def make_monkey3d_stepper(
             anchor=jnp.stack([anchor0, jnp.zeros(3)]),
             hold_bar=jnp.array([0, -1], jnp.int32),
             potential=-jnp.linalg.norm(bar_pos[1] - q[0:3]) / config.control_dt,
+            stage=jnp.asarray(stage, jnp.float32),
         )
         return EnvState(
             q=q, qd=qd, key=key,
@@ -281,7 +292,7 @@ def make_monkey3d_stepper(
             task=MonkeyTaskState(
                 bar_pos=task.bar_pos, bar_dir=task.bar_dir,
                 next_bar=next_bar, attached=attached, anchor=anchor,
-                hold_bar=hold_bar, potential=potential,
+                hold_bar=hold_bar, potential=potential, stage=task.stage,
             ),
         )
         obs = full_obs(new_state)

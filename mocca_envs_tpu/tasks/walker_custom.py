@@ -174,7 +174,7 @@ def make_walker3d_custom(
         q_s, qd_s = T.joint_obs(model, q, qd)
         return jnp.concatenate([body, q_s, qd_s, foot_contact])
 
-    def reset(key: jax.Array, reset_count) -> EnvState:
+    def reset(key: jax.Array, reset_count, prev: EnvState | None = None) -> EnvState:
         ek = rng_mod.reset_key(key, reset_count)
         kj, kt = jax.random.split(ek)
         qj0 = 0.5 * (model.limit_lo + model.limit_hi) * 0.0  # zero pose

@@ -67,6 +67,21 @@ class StepperTaskState(struct.PyTreeNode):
     stone_quat: jnp.ndarray    # (K, 4)
     next_step: jnp.ndarray     # int32 current target stone index
     potential: jnp.ndarray     # −dist(root→target)/dt potential (B7 [K-med])
+    stage: jnp.ndarray         # per-env curriculum stage (DYNAMIC, carried
+                               # across auto-resets — SURVEY.md §3.5: stage
+                               # updates are data, never recompiles)
+
+
+def set_stage(state: EnvState, stage) -> EnvState:
+    """Trainer-facing curriculum setter on (possibly batched) env state.
+
+    Reference API shape: ``env.set_curriculum(k)`` (SURVEY.md §3.5). Takes
+    effect at each env's next reset; accepts a scalar or per-env array.
+    """
+    new = jnp.broadcast_to(
+        jnp.asarray(stage, jnp.float32), state.task.stage.shape
+    )
+    return state.replace(task=state.task.replace(stage=new))
 
 
 def make_walker3d_stepper(
@@ -121,7 +136,7 @@ def make_walker3d_stepper(
         nfeet = len(model.foot_links)
         return full_obs(state, jnp.zeros((nfeet,), state.q.dtype))
 
-    def reset(key: jax.Array, reset_count) -> EnvState:
+    def reset(key: jax.Array, reset_count, prev: EnvState | None = None) -> EnvState:
         ek = rng_mod.reset_key(key, reset_count)
         kj, ks = jax.random.split(ek)
         noise = wp.init_joint_noise * jax.random.uniform(
@@ -129,7 +144,11 @@ def make_walker3d_stepper(
         )
         qj = jnp.clip(noise, model.limit_lo, model.limit_hi)
         start_top = jnp.array([0.0, 0.0, 0.0])
-        stone_top, stone_quat = sample_stones(params.stones, ks, start_top)
+        # curriculum stage is per-env dynamic data carried across episodes
+        stage = params.stones.stage if prev is None else prev.task.stage
+        stone_top, stone_quat = sample_stones(
+            params.stones.replace(stage=stage), ks, start_top
+        )
         center, half = stones_to_scene_boxes(params.stones, stone_top, stone_quat)
         scene = scene_mod.with_stones(
             stone_pos=center, stone_quat=stone_quat, stone_half=half,
@@ -150,6 +169,7 @@ def make_walker3d_stepper(
             stone_quat=stone_quat,
             next_step=jnp.asarray(1, jnp.int32),
             potential=-dist / config.control_dt,
+            stage=jnp.asarray(stage, jnp.float32),
         )
         return EnvState(
             q=q, qd=qd, key=key,
@@ -216,6 +236,7 @@ def make_walker3d_stepper(
                 stone_quat=task.stone_quat,
                 next_step=next_step,
                 potential=potential,
+                stage=task.stage,
             ),
         )
         obs = full_obs(new_state, info.foot_contact)
@@ -225,7 +246,7 @@ def make_walker3d_stepper(
             "stone_hit": hit.astype(q.dtype),
             "success": success.astype(q.dtype),
             "fallen": fallen.astype(q.dtype),
-            "curriculum_stage": params.stones.stage,
+            "curriculum_stage": task.stage,
         }
         return Transition(
             state=new_state, obs=obs, reward=reward, done=done, metrics=metrics

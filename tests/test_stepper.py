@@ -103,3 +103,30 @@ def test_per_env_curriculum_in_one_batch():
     flat_z = float(jnp.std(s_easy.task.stone_top[:, 2]))
     hard_z = float(jnp.std(s_hard.task.stone_top[:, 2]))
     assert flat_z < 1e-5 and hard_z > 0.05
+
+
+def test_env_level_curriculum_no_recompile_and_survives_reset():
+    """Stage lives in env state: set_stage is pure data, survives auto-reset,
+    and widens terrain on the next episode (SURVEY.md §3.5, §7.3 #4)."""
+    from mocca_envs_tpu.tasks.walker_stepper import set_stage
+
+    env = mocca_envs_tpu.make("Walker3DStepperEnv")
+    step = jax.jit(env.step)
+    state = env.init(jax.random.key(11))
+    assert float(state.task.stage) == 0.0
+    state = set_stage(state, 9)
+    before = step._cache_size()
+    # force episode end via many steps with violent actions
+    flat0 = float(jnp.std(state.task.stone_top[:, 2]))
+    done_seen = False
+    for _ in range(250):
+        tr = step(state, jnp.ones(env.act_dim))
+        state = tr.state
+        if bool(tr.done):
+            done_seen = True
+            break
+    assert done_seen
+    assert step._cache_size() == before  # stage change compiled nothing new
+    assert float(state.task.stage) == 9.0  # survived the auto-reset
+    # the regenerated chain is stage-9 terrain (pitch variation present)
+    assert float(jnp.std(state.task.stone_top[:, 2])) > max(flat0, 0.05)

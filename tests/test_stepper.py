@@ -130,3 +130,24 @@ def test_env_level_curriculum_no_recompile_and_survives_reset():
     assert float(state.task.stage) == 9.0  # survived the auto-reset
     # the regenerated chain is stage-9 terrain (pitch variation present)
     assert float(jnp.std(state.task.stone_top[:, 2])) > max(flat0, 0.05)
+
+
+def test_step_advance_machine_fires_on_stone_contact():
+    """B7 deterministically: drop the walker onto its target stone → hit,
+    bonus, and window advance."""
+    env = mocca_envs_tpu.make("Walker3DStepperEnv")
+    state = env.init(jax.random.key(0))
+    tgt = state.task.stone_top[1]
+    q = state.q.at[0:2].set(tgt[0:2]).at[2].set(tgt[2] + 0.95)
+    state = state.replace(q=q, qd=jnp.zeros_like(state.qd))
+    step = jax.jit(env.step_no_reset)
+    hit_step = None
+    for i in range(30):
+        tr = step(state, jnp.zeros(env.act_dim))
+        state = tr.state
+        if float(tr.metrics["stone_hit"]) > 0:
+            hit_step = i
+            break
+    assert hit_step is not None, "stone never registered as hit"
+    assert int(state.task.next_step) == 2
+    assert float(tr.reward) > 5.0  # step bonus dominates that step

@@ -186,6 +186,7 @@ def make_pallas_substep(
     num_stones: int = 0,
     constraints=None,
     extra_damping=None,
+    pd_mode: bool = False,
 ):
     """Build the fused substep running ``config.sim_substeps`` physics
     substeps on TPU.
@@ -201,6 +202,14 @@ def make_pallas_substep(
     point-to-point rods (Cassie achilles), planar base locks (2D variants)
     and maskable world-anchor grabs (monkey). ``extra_damping`` (nj,) is the
     implicitly-integrated actuator damping (Cassie PD servo k_d).
+
+    ``pd_mode=True`` reinterprets the ``tau`` input as joint POSITION
+    TARGETS (nj,) and runs the WHOLE control step in one call:
+    ``llc_frames × sim_substeps`` substeps with the PD proportional torque
+    ``actuated·k_p·(target − q)`` recomputed at each llc frame in-kernel
+    (reference behavior B1/B3 three-rate hierarchy) — one kernel launch per
+    control step instead of one per llc frame.
+
     ``interpret=True`` runs the kernel in the Pallas interpreter (CPU) — the
     equivalence-test path against the JAX oracle."""
     assert supports(model), "unsupported model for the fused kernel"
@@ -257,6 +266,9 @@ def make_pallas_substep(
     armature_c = np.asarray(model.armature, dtype=np.float64)
     lim_lo = np.asarray(model.limit_lo, dtype=np.float64)
     lim_hi = np.asarray(model.limit_hi, dtype=np.float64)
+    kp_c = np.asarray(model.kp, dtype=np.float64)
+    act_c = np.asarray(model.actuated, dtype=np.float64)
+    n_llc = int(config.llc_frames) if pd_mode else 1
     joint_diag = dt * (damping_c + dt * stiffness_c) + armature_c
 
     def inertia_rows(l):
@@ -299,7 +311,7 @@ def make_pallas_substep(
         fric = fric_ref[0]
         tau_in = [tau_ref[j] for j in range(nj)]
 
-        def one_substep(q_s, qd_s):
+        def one_substep(q_s, qd_s, tau_cur):
             bp = q_s[0:3]
             bq = q_s[3:7]
             qj = q_s[7:]
@@ -406,7 +418,7 @@ def make_pallas_substep(
 
             # ---------------- passive + applied joint torques
             tau_j = [
-                add(tau_in[j],
+                add(tau_cur[j],
                     sub_(mul(-float(damping_c[j]), qdj[j]),
                          mul(float(stiffness_c[j]), sub_(qj[j], float(springref_c[j])))))
                 for j in range(nj)
@@ -741,19 +753,39 @@ def make_pallas_substep(
 
         q_s = [q_ref[c] for c in range(nq)]
         qd_s = [qd_ref[c] for c in range(nv)]
-        if n_sub == 1:
-            q_s, qd_s, depth, nimp = one_substep(q_s, qd_s)
+
+        def tau_of(q_c):
+            if not pd_mode:
+                return tau_in  # raw torques, constant over the control step
+            # PD proportional term at the llc rate (B3); derivative term is
+            # the implicitly-integrated extra_damping
+            return [
+                mul(float(act_c[j] * kp_c[j]), sub_(tau_in[j], q_c[7 + j]))
+                for j in range(nj)
+            ]
+
+        if n_llc == 1 and n_sub == 1:
+            q_s, qd_s, depth, nimp = one_substep(q_s, qd_s, tau_of(q_s))
         else:
-            # loop substeps via fori so the kernel body is traced ONCE
+            # nested fori loops: llc frames (tau refresh) × substeps —
+            # kernel body traced ONCE per loop level
             zt = jnp.zeros(SUB, dtype=jnp.float32)
 
-            def body(_, carry):
+            def llc_body(_, carry):
                 q_c, qd_c, _d, _n = carry
-                q_n, qd_n, d_n, n_n = one_substep(list(q_c), list(qd_c))
-                return tuple(q_n), tuple(qd_n), tuple(d_n), tuple(n_n)
+                tau_cur = tau_of(list(q_c))
+
+                def sub_body(_, c2):
+                    q2, qd2, _d2, _n2 = c2
+                    q_n, qd_n, d_n, n_n = one_substep(list(q2), list(qd2), tau_cur)
+                    return tuple(q_n), tuple(qd_n), tuple(d_n), tuple(n_n)
+
+                return jax.lax.fori_loop(
+                    0, n_sub, sub_body, (q_c, qd_c, _d, _n)
+                )
 
             init = (tuple(q_s), tuple(qd_s), (zt,) * ns, (zt,) * ns)
-            q_s, qd_s, depth, nimp = jax.lax.fori_loop(0, n_sub, body, init)
+            q_s, qd_s, depth, nimp = jax.lax.fori_loop(0, n_llc, llc_body, init)
 
         for c in range(nq):
             qo_ref[c] = q_s[c]

@@ -249,6 +249,7 @@ def make_control_step(
     constraints: ConstraintSpec = ConstraintSpec(),
     actuation: Callable | None = None,
     extra_damping: jnp.ndarray | None = None,
+    pd_targets: Callable | None = None,
 ):
     """Build the control-rate step: the function the task envs drive.
 
@@ -261,6 +262,21 @@ def make_control_step(
     substep = make_substep(model, config, constraints, extra_damping=extra_damping)
     if actuation is None:
         actuation = lambda q, qd, a: a  # raw joint torques
+
+    if pd_targets is not None:
+        # PD-servo families (Cassie, B3): the whole control step — PD
+        # proportional torque recomputed per llc frame × sim substeps — is
+        # ONE unit (one fused kernel launch on TPU; an internal scan on the
+        # JAX path). Derivative gains ride extra_damping (implicit).
+        pd_unit = _make_llc_unit(
+            model, config, substep, constraints, extra_damping, pd_mode=True
+        )
+
+        def control_step(q, qd, action, scene: Scene, grab_active=None, grab_target=None):
+            targets = pd_targets(action)
+            return pd_unit(q, qd, targets, scene, grab_active, grab_target)
+
+        return control_step
 
     llc_unit = _make_llc_unit(model, config, substep, constraints, extra_damping)
 
@@ -282,7 +298,7 @@ def make_control_step(
 
 def _make_llc_unit(model: RobotModel, config: EngineConfig, substep,
                    constraints: ConstraintSpec = ConstraintSpec(),
-                   extra_damping=None):
+                   extra_damping=None, pd_mode: bool = False):
     """One llc frame = ``sim_substeps`` physics substeps at fixed torques.
 
     When the fused Pallas kernel covers this configuration and we are
@@ -293,17 +309,36 @@ def _make_llc_unit(model: RobotModel, config: EngineConfig, substep,
     batch not a tile multiple) uses the JAX path.
     """
 
-    def jax_unit(q, qd, tau_j, scene, grab_active=None, grab_target=None):
-        def sim(carry, _):
+    def jax_unit(q, qd, tau_or_targets, scene, grab_active=None, grab_target=None):
+        def one_llc(q, qd):
+            if pd_mode:
+                qj = q[7:] if model.floating else q
+                tau_j = model.actuated * model.kp * (tau_or_targets - qj)
+            else:
+                tau_j = tau_or_targets
+
+            def sim(carry, _):
+                q, qd = carry
+                q, qd, info = substep(q, qd, tau_j, scene, grab_active, grab_target)
+                return (q, qd), info
+
+            (q, qd), infos = jax.lax.scan(
+                sim, (q, qd), None, length=config.sim_substeps
+            )
+            return q, qd, jax.tree.map(lambda x: x[-1], infos)
+
+        if not pd_mode:
+            return one_llc(q, qd)
+
+        def llc(carry, _):
             q, qd = carry
-            q, qd, info = substep(q, qd, tau_j, scene, grab_active, grab_target)
+            q, qd, info = one_llc(q, qd)
             return (q, qd), info
 
         (q, qd), infos = jax.lax.scan(
-            sim, (q, qd), None, length=config.sim_substeps
+            llc, (q, qd), None, length=config.llc_frames
         )
-        info = jax.tree.map(lambda x: x[-1], infos)
-        return q, qd, info
+        return q, qd, jax.tree.map(lambda x: x[-1], infos)
 
     use_pallas = config.use_pallas
     if use_pallas:
@@ -333,6 +368,7 @@ def _make_llc_unit(model: RobotModel, config: EngineConfig, substep,
         fused = pallas_engine.make_pallas_substep(
             model, config, num_stones=num_stones,
             constraints=constraints, extra_damping=extra_damping,
+            pd_mode=pd_mode,
         )
 
         def _scene(ground_z, friction, stones=()):

@@ -29,7 +29,6 @@ from mocca_envs_tpu.core import rng as rng_mod
 from mocca_envs_tpu.envs.env import EnvState, Transition, make_fn_env
 from mocca_envs_tpu.models import cassie
 from mocca_envs_tpu.models.schema import RobotModel
-from mocca_envs_tpu.ops.kinematics import joint_q
 from mocca_envs_tpu.ops.step import ConstraintSpec, make_control_step
 from mocca_envs_tpu.tasks import base as T
 from mocca_envs_tpu.terrain import scene as scene_mod
@@ -112,20 +111,15 @@ def make_cassie(
     stand = jnp.asarray(cassie.stand_q(model))
     pelvis_idx = 0
 
-    def actuation(q, qd, action):
-        """PD servo at llc rate (B3): action = Δtargets around stand pose.
-
-        Only the proportional term lives here; the −k_d·q̇ damping is
-        handled implicitly inside every substep via ``extra_damping``
-        (see ops/step.make_substep — explicit ZOH damping is unstable on
-        the low-inertia toe joints).
-        """
-        targets = stand.at[motor_idx].add(jnp.clip(action, -1.0, 1.0))
-        qj = joint_q(model, q)
-        return model.actuated * model.kp * (targets - qj)
+    def pd_targets(action):
+        """action = Δtargets around the stand pose (B3); the PD servo —
+        proportional torque at the llc rate, implicit derivative damping —
+        runs inside the control unit (fused in-kernel on TPU)."""
+        return stand.at[motor_idx].add(jnp.clip(action, -1.0, 1.0))
 
     control = make_control_step(
-        model, config, constraints=spec, actuation=actuation,
+        model, config, constraints=spec,
+        pd_targets=pd_targets,
         extra_damping=model.actuated * model.kd,
     )
     nfeet = len(model.foot_links)

@@ -1,0 +1,105 @@
+"""Multi-host bring-up test via spawned CPU processes (SURVEY.md §4.4 #4).
+
+Two real OS processes form a jax.distributed cluster over localhost (the
+CPU stand-in for a multi-host TPU slice), build the global env mesh, step a
+globally-sharded env batch, and psum-verify coherence — exercising
+parallel/multihost.initialize and the cross-host path of parallel/sharded.
+"""
+
+import os
+import socket
+import subprocess
+import sys
+import textwrap
+
+import pytest
+
+_WORKER = textwrap.dedent(
+    """
+    import os, sys
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=2"
+    sys.path.insert(0, "__REPO__")
+
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_num_cpu_devices", 2)
+
+    from mocca_envs_tpu.parallel import multihost
+
+    multihost.initialize(
+        coordinator_address="__COORD__",
+        num_processes=2,
+        process_id=__PID__,
+    )
+    assert jax.process_count() == 2, jax.process_count()
+    assert jax.device_count() == 4, jax.device_count()
+
+    import jax.numpy as jnp
+    import numpy as np
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+    import mocca_envs_tpu
+    from mocca_envs_tpu.core import rng as rng_mod
+
+    mesh = Mesh(np.array(jax.devices()), ("env",))
+    env = mocca_envs_tpu.make("Walker3DCustomEnv")
+
+    B = 8  # 2 per device
+    keys = rng_mod.env_keys(rng_mod.root_key(0), B)
+    sh = NamedSharding(mesh, P("env"))
+    state = jax.jit(jax.vmap(env.init), out_shardings=sh)(keys)
+    step = jax.jit(jax.vmap(env.step), in_shardings=(sh, sh), out_shardings=sh)
+    tr = step(state, jnp.zeros((B, env.act_dim)))
+
+    # global coherence: every process sees the same global reward sum
+    total = float(jnp.sum(tr.reward))
+    print(f"proc {jax.process_index()} total_reward {total:.6f}", flush=True)
+    assert np.isfinite(total)
+    print("MULTIHOST_OK", flush=True)
+    """
+)
+
+
+@pytest.mark.slow
+def test_two_process_cluster_steps_sharded_envs(tmp_path):
+    repo = os.path.abspath(os.path.join(os.path.dirname(__file__), ".."))
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        port = s.getsockname()[1]
+    coord = f"127.0.0.1:{port}"
+
+    procs = []
+    env = dict(os.environ)
+    env.pop("PALLAS_AXON_POOL_IPS", None)  # never touch the TPU from workers
+    env["JAX_PLATFORMS"] = "cpu"
+    for pid in range(2):
+        script = (_WORKER.replace("__REPO__", repo)
+                  .replace("__COORD__", coord)
+                  .replace("__PID__", str(pid)))
+        procs.append(
+            subprocess.Popen(
+                [sys.executable, "-c", script],
+                stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+                text=True, env=env,
+            )
+        )
+    outs = []
+    try:
+        for p in procs:
+            out, _ = p.communicate(timeout=420)
+            outs.append(out)
+    except subprocess.TimeoutExpired:
+        for p in procs:
+            p.kill()
+        pytest.fail("multi-host workers timed out:\n" + "\n---\n".join(outs))
+
+    for i, (p, out) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, f"worker {i} failed:\n{out}"
+        assert "MULTIHOST_OK" in out, f"worker {i} incomplete:\n{out}"
+
+    # both processes computed the SAME global reward sum
+    import re
+
+    totals = [re.search(r"total_reward (-?[\d.]+)", o).group(1) for o in outs]
+    assert totals[0] == totals[1], totals

@@ -86,6 +86,9 @@ def jnp_f32(v):
     return jnp.asarray(v, dtype=jnp.float32)
 
 
+from mocca_envs_tpu.tasks.walker_terrain import make_walker3d_terrain  # noqa: E402
+
+register("Walker3DTerrainEnv", make_walker3d_terrain)
 register("Walker2DCustomEnv", _make_walker2d_custom)
 register("Crab2DCustomEnv", _make_crab2d_custom)
 register("Child3DCustomEnv", _make_child3d_custom)

@@ -434,6 +434,10 @@ def _make_llc_unit(model: RobotModel, config: EngineConfig, substep,
         return unit
 
     def pallas_unit(q, qd, tau_j, scene: Scene, grab_active=None, grab_target=None):
+        if scene.has_hf:
+            # heightfield narrowphase is not in the fused kernel (yet);
+            # static flag → this branch resolves at trace time
+            return jax_unit(q, qd, tau_j, scene, grab_active, grab_target)
         grabs = (grab_active, grab_target) if has_grabs else ()
         if scene.has_stones:
             ksize = scene.stone_pos.shape[-2]

@@ -1,0 +1,96 @@
+"""Walker3DTerrainEnv — walk-to-target over uneven fractal terrain.
+
+Extension family exercising the reference's HeightField scene object end to
+end (``bullet_objects.py::HeightField`` — SURVEY.md §2.1 C7 [K-med]; the
+reference uses heightfield terrain for uneven-ground experiments). Not part
+of the reference's confirmed gym ID table — registered as an extension with
+the same API shape.
+
+Design: each env slot gets its own fractal heightfield, generated host-side
+at init (native C++ diamond-square, terrain/heightfield.py) and CARRIED
+ACROSS AUTO-RESETS via the reset(prev_state) contract — terrain is per-slot
+persistent, spawn pose re-randomizes per episode. Physics runs on the JAX
+path (the fused kernel covers plane/stone scenes; heightfield narrowphase is
+a kernel-v3 candidate).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from mocca_envs_tpu.envs.env import EnvState
+from mocca_envs_tpu.models import walker3d
+from mocca_envs_tpu.tasks.walker_custom import WalkerParams, make_walker3d_custom
+from mocca_envs_tpu.terrain.heightfield import fractal_heightfield
+from mocca_envs_tpu.terrain.scene import Scene, hf_sample
+from mocca_envs_tpu.utils.config import EngineConfig
+
+
+def make_walker3d_terrain(
+    config: EngineConfig | None = None,
+    params: WalkerParams | None = None,
+    name: str = "Walker3DTerrainEnv",
+    grid: int = 65,
+    extent: float = 20.0,
+    amplitude: float = 0.25,
+    terrain_seed: int = 0,
+):
+    """Walker walk-to-target on a heightfield.
+
+    The returned family's ``init``/``reset`` build a per-slot heightfield by
+    hashing the env stream key — deterministic under the B9 seed contract —
+    chosen from a bank of ``n_bank`` pre-generated host-side terrains.
+    """
+    base = make_walker3d_custom(
+        config=config, params=params, name=name,
+        initial_z=walker3d.INITIAL_Z,
+    )
+    cell = extent / (grid - 1)
+    n_bank = 16
+    bank = np.stack(
+        [
+            fractal_heightfield(grid, amplitude=amplitude, seed=terrain_seed * 1000 + i)
+            for i in range(n_bank)
+        ]
+    )
+    bank_j = jnp.asarray(bank)
+    xy0 = jnp.asarray([-extent / 2.0, -extent / 2.0], dtype=jnp.float32)
+
+    def _terrain_scene(key) -> Scene:
+        # deterministic per-slot terrain pick from the stream key (B9)
+        idx = jax.random.randint(jax.random.fold_in(key, 7919), (), 0, n_bank)
+        return Scene(
+            has_ground=False,
+            has_hf=True,
+            hf_height=bank_j[idx],
+            hf_xy0=xy0,
+            hf_cell=jnp.asarray(cell, dtype=jnp.float32),
+            friction=jnp.asarray(0.8, dtype=jnp.float32),
+        )
+
+    def reset(key, reset_count, prev: EnvState | None = None) -> EnvState:
+        state = base.reset(key, reset_count, prev)
+        scene = prev.scene if prev is not None else _terrain_scene(key)
+        # spawn standing on the local surface
+        h = hf_sample(scene, state.q[0:2])
+        q = state.q.at[2].add(h)
+        # target sits on the terrain surface too
+        tgt = state.task.target
+        tgt = tgt.at[2].set(hf_sample(scene, tgt[0:2]))
+        return state.replace(q=q, scene=scene, task=state.task.replace(target=tgt))
+
+    from mocca_envs_tpu.envs.env import make_fn_env
+
+    return make_fn_env(
+        name=name,
+        obs_dim=base.obs_dim,
+        act_dim=base.act_dim,
+        reset=reset,
+        raw_step=base.step_no_reset,
+        obs_fn=base.obs_fn,
+        control_dt=base.control_dt,
+        mirror=base.mirror,
+    )

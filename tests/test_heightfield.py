@@ -62,3 +62,27 @@ def test_ball_rolls_on_heightfield():
     # settled on the surface: center ≈ surface + radius (tolerant: slopes)
     surf = float(hf_sample(scene, q[0:2]))
     assert abs(float(q[2]) - surf - 0.1) < 0.08
+
+
+def test_walker_terrain_env_runs_and_keeps_terrain_across_resets():
+    """Extension family over HeightField scenes: per-slot terrain persists
+    across auto-resets (reset prev-state contract), spawn sits on surface."""
+    import mocca_envs_tpu
+
+    env = mocca_envs_tpu.make("Walker3DTerrainEnv")
+    state = env.init(jax.random.key(3))
+    surf0 = float(hf_sample(state.scene, state.q[0:2]))
+    # spawned roughly standing height above the LOCAL surface
+    assert abs(float(state.q[2]) - surf0 - 0.96) < 0.1
+    hf_before = np.asarray(state.scene.hf_height)
+    step = jax.jit(env.step)
+    done_seen = False
+    for _ in range(250):
+        tr = step(state, jnp.ones(env.act_dim))
+        state = tr.state
+        if bool(tr.done):
+            done_seen = True
+            break
+    assert done_seen
+    assert bool(jnp.all(jnp.isfinite(state.q)))
+    np.testing.assert_array_equal(np.asarray(state.scene.hf_height), hf_before)

@@ -17,27 +17,26 @@ DESIGN
   RobotModel), so all structural sparsity — ancestor masks, zero inertia
   products, diagonal inertias, flat-ground normals — constant-folds at
   trace time through the tiny `_z`-aware helpers below.
-- One kernel runs ``sim_substeps`` full substeps via an internal loop:
-  FK (quaternion chain) → sphere-vs-ground collide → Newton–Euler bias →
-  composite-body CRBA mass matrix (world-frame spatial composites about the
-  base) → unrolled Cholesky → W = L⁻¹Jᵀ (so A = WᵀW needs no explicit M⁻¹)
-  → projected Gauss–Seidel with box friction → impulse map L⁻ᵀ(Wλ) →
-  semi-implicit integrate with joint-limit projection.
-- The row dimension of the contact system (nr = 3·ns) is kept as a REAL
-  array axis ((nr, 8, 128) values) so substitution/Delassus/PGS trace to
-  ~hundreds of vector ops instead of tens of thousands of scalar ops.
+- One kernel runs a whole control step (``llc_frames × sim_substeps``
+  substeps, PD torque refreshed in-kernel at the llc rate in pd_mode) via
+  nested fori loops: FK (quaternion chain) → narrowphase (plane ∪ oriented
+  stone boxes) → Newton–Euler bias → composite-body CRBA mass matrix
+  (world-frame spatial composites about the base) → unrolled Cholesky →
+  W = L⁻¹Jᵀ (so A = WᵀW needs no explicit M⁻¹) → projected Gauss–Seidel
+  over [equality rows (Cassie rods, planar locks, runtime grabs) | contact
+  blocks] with box friction → impulse map L⁻ᵀ(Wλ) → semi-implicit
+  integrate with joint-limit projection and a velocity cap.
+- The row dimension of the constraint system (nr = ne + 3·ns) is kept as a
+  REAL array axis ((nr, 8, 128) values) so substitution/Delassus/PGS trace
+  to ~hundreds of vector ops instead of tens of thousands of scalar ops.
 
-Scope v1: floating-base all-revolute models, no equality constraints, flat
-ground (the BASELINE config-2 headline). The JAX path (ops/step.py) remains
-the oracle for every other configuration and for CPU; equivalence is gated
-by tests/test_pallas_engine.py in interpret mode and by an on-TPU numeric
-check.
+Scope: floating-base all-revolute models over plane ∪ stone scenes
+(heightfields route to the JAX path). ops/step.py remains the oracle for
+every configuration and for CPU; equivalence is gated by
+tests/test_pallas_engine.py in interpret mode and by on-TPU numeric checks.
 """
 
 from __future__ import annotations
-
-import functools
-import math
 
 import numpy as np
 

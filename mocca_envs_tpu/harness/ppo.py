@@ -328,9 +328,13 @@ class PPOLearner:
             @functools.partial(jax.jit, donate_argnums=(0,))
             def train_step(state: TrainState):
                 key, sk = jax.random.split(state.key)
+                # Rollout consumes fold_in(key, 0), NOT key itself (mirrors
+                # the mesh path): the stored key's future splits never overlap
+                # the threefry streams the rollout already used.
                 params, opt_state, norm, env_state, obs, _, metrics = update_shard(
                     state.params, state.opt_state, state.obs_norm,
-                    state.env_state, state.obs, key, sk,
+                    state.env_state, state.obs, jax.random.fold_in(key, 0),
+                    jax.random.fold_in(sk, 0),
                 )
                 return (
                     TrainState(

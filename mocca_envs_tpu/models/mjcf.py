@@ -167,35 +167,49 @@ def parse_mjcf(
     def conv_angle(v):
         return np.deg2rad(v) if deg else v
 
-    def add_body(body, parent_builder_name: str):
+    def add_body(body, parent_builder_name: str, parent_off: np.ndarray):
+        """Compile one <body>.
+
+        ``parent_off``: origin of the parent's builder-link frame expressed
+        in the parent BODY frame (= the parent's last joint anchor; zero for
+        welds and the base). MJCF positions are body-frame, builder link
+        frames are anchored at joints — every offset must be re-rooted.
+
+        The body quat is folded into the chain's first joint_quat, so joint
+        axes / geom offsets / child-body frames (all body-frame in MJCF) are
+        passed through unrotated — the builder's link frame IS the body
+        frame, just re-originated at the joint anchor.
+        """
         name = body.get("name", f"body{id(body)}")
-        pos = _floats(body.get("pos"), default=(0, 0, 0))
+        pos = _floats(body.get("pos"), default=(0, 0, 0)) - parent_off
         quat = _frame_quat(body, deg)
         joints = [j for j in body.findall("joint") if j.get("type") != "free"]
         mass, com, I = _inertial_of(body, deg)
 
         if not joints:
-            # weld: fixed joint folded by the builder
+            # weld: fixed joint folded by the builder (quat composed exactly)
             from mocca_envs_tpu.models.schema import FIXED
 
             b.add_link(
                 name, parent_builder_name, jtype=FIXED,
-                joint_pos=pos, joint_rpy=(0, 0, 0),
+                joint_pos=pos, joint_quat=quat,
                 mass=mass, com=com, inertia=I, actuated=False,
             )
-            # NOTE: body quat folded via joint_quat is not expressible with
-            # rpy args; convert quat → rpy equivalently at build precision.
             chain_name = name
+            chain_off = np.zeros(3)
         else:
             chain_parent = parent_builder_name
             chain_name = name
+            jpos_list = [
+                _floats(j.get("pos"), default=(0, 0, 0)) for j in joints
+            ]
             for k, j in enumerate(joints):
                 jname = j.get("name", f"{name}_j{k}")
                 last = k == len(joints) - 1
                 seg = name if last else f"{jname}__stack"
                 jtype = PRISMATIC if j.get("type") == "slide" else REVOLUTE
                 axis = _floats(j.get("axis"), default=(0, 0, 1))
-                jpos = _floats(j.get("pos"), default=(0, 0, 0))
+                jpos = jpos_list[k]
                 rng = _floats(j.get("range"))
                 if rng is not None and jtype == REVOLUTE:
                     limit = tuple(conv_angle(rng))
@@ -207,11 +221,13 @@ def parse_mjcf(
                 b.add_link(
                     seg, chain_parent,
                     jtype=jtype,
-                    # first joint carries the body frame offset; stacked
-                    # joints share the anchor (MJCF joints all anchor in the
-                    # same body frame at their pos)
-                    joint_pos=(pos + _np_quat_to_mat(quat) @ jpos) if k == 0 else np.zeros(3),
-                    joint_rpy=(0, 0, 0),
+                    # first joint: parent-link-frame offset of this body plus
+                    # the anchor, with the body quat folded into the joint
+                    # frame; stacked joints chain anchor-to-anchor within the
+                    # (already rotated) body frame
+                    joint_pos=(pos + _np_quat_to_mat(quat) @ jpos)
+                    if k == 0 else (jpos - jpos_list[k - 1]),
+                    joint_quat=quat if k == 0 else None,
                     joint_axis=axis,
                     limit=limit,
                     damping=float(j.get("damping", "0")),
@@ -220,24 +236,26 @@ def parse_mjcf(
                     actuated=jname in gears or not gears,
                     power_coef=gear,
                     mass=mass if last else 0.0,
+                    # body-frame inertial com, re-rooted at the last anchor
                     com=com - jpos if last else np.zeros(3),
                     inertia=I if last else np.zeros((3, 3)),
                 )
                 chain_parent = seg
                 chain_name = seg
+            chain_off = jpos_list[-1]
 
         foot = None
         if any(k in name.lower() for k in foot_link_keywords):
             foot = name
         for g in body.findall("geom"):
             for gpos, r in _geom_spheres(g, deg):
-                sphere_jobs.append((chain_name, gpos, r, foot))
+                sphere_jobs.append((chain_name, gpos - chain_off, r, foot))
 
         for child in body.findall("body"):
-            add_body(child, chain_name)
+            add_body(child, chain_name, chain_off)
 
     for child in rb.findall("body"):
-        add_body(child, "base")
+        add_body(child, "base", np.zeros(3))
     for link, pos, r, foot in sphere_jobs:
         b.add_sphere(link, pos, r, foot=foot)
     return b.build()

@@ -139,8 +139,8 @@ class RobotModel(struct.PyTreeNode):
     # ---- ancestry: anc[i, j] = 1.0 iff joint j is on the base→link-i chain
     anc: jnp.ndarray             # (nl, nj)
 
-    # ---- symmetry (mocca mirror-index arrays, SURVEY.md §2.1 C5 [K-med])
-    mirror_obs_sign: jnp.ndarray   # per-q sign map used by calc obs mirroring
+    # ---- symmetry (mocca mirror-index arrays, SURVEY.md §2.1 C5 [K-med]);
+    # obs-side maps are task-layout-dependent and built by tasks/base.mirror_spec
     mirror_act_perm: jnp.ndarray   # (nj,) int32 permutation of actions
     mirror_act_sign: jnp.ndarray   # (nj,)
 
@@ -222,6 +222,8 @@ class ModelBuilder:
         jtype: int = REVOLUTE,
         joint_pos=(0, 0, 0),
         joint_rpy=(0, 0, 0),
+        joint_quat=None,   # wxyz; overrides joint_rpy when given (exact —
+                           # MJCF body quats need no rpy round-trip)
         joint_axis=(0, 0, 1),
         limit=(-np.pi, np.pi),
         damping: float = 0.0,
@@ -241,10 +243,15 @@ class ModelBuilder:
         axis = np.asarray(joint_axis, dtype=np.float64)
         n = np.linalg.norm(axis)
         axis = axis / n if n > 0 else np.array([0.0, 0.0, 1.0])
+        if joint_quat is not None:
+            jq = np.asarray(joint_quat, dtype=np.float64)
+            jq = jq / np.linalg.norm(jq)
+        else:
+            jq = rpy_to_quat(joint_rpy)
         self.links.append(
             _Link(
                 name, pidx, jtype,
-                np.asarray(joint_pos, dtype=np.float64), rpy_to_quat(joint_rpy), axis,
+                np.asarray(joint_pos, dtype=np.float64), jq, axis,
                 (float(limit[0]), float(limit[1])), float(damping), float(stiffness),
                 float(spring_ref), float(armature), bool(actuated), float(power_coef),
                 float(kp), float(kd), float(mass),
@@ -361,7 +368,6 @@ class ModelBuilder:
                 arr = arr.reshape(shape)
             return jnp.asarray(arr, dtype=dtype)
 
-        nq = (7 if self.floating else 0) + nj
         return RobotModel(
             nl=nl,
             nj=nj,
@@ -392,7 +398,6 @@ class ModelBuilder:
             sph_radius=a(sph_radius),
             sph_foot=a(sph_foot),
             anc=a(anc),
-            mirror_obs_sign=a(np.ones(nq)),
             mirror_act_perm=jnp.arange(nj, dtype=jnp.int32),
             mirror_act_sign=a(np.ones(nj)),
         )

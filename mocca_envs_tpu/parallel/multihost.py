@@ -61,31 +61,22 @@ def fingerprint(tree) -> np.ndarray:
     return acc
 
 
-def check_replica_divergence(tree, mesh) -> bool:
+def check_replica_divergence(tree, mesh=None) -> bool:
     """True if the replicated pytree is identical across all hosts.
 
-    Implemented as a psum of the local fingerprint compared against
-    ``process_count × local``; divergence ⇒ some host's replica drifted.
+    Host-divergent values must NOT be fed into a jitted computation with
+    replicated in_specs (undefined behavior — the compiler may assume
+    replication and elide the reduction), so the local fingerprint is
+    ``process_allgather``'d and the gathered rows compared host-side.
+    ``mesh`` is accepted for API compatibility and unused.
     """
+    del mesh
     local = fingerprint(tree)
-    x = jnp.asarray(local)
-
-    summed = jax.jit(
-        lambda v: jax.lax.psum(v, "h"),
-        # trivial shard_map over all devices just to get a global psum
-    )
-    from jax.sharding import PartitionSpec as P
-
-    try:
-        import functools
-
-        f = functools.partial(jax.shard_map, mesh=mesh, in_specs=P(), out_specs=P())
-
-        @f
-        def _psum(v):
-            return jax.lax.psum(v / mesh.size, tuple(mesh.axis_names))
-
-        global_mean = np.asarray(_psum(x))
-    except Exception:  # pragma: no cover - single-device fallback
+    if jax.process_count() == 1:
         return True
-    return bool(np.allclose(global_mean, local, rtol=1e-6))
+    from jax.experimental import multihost_utils
+
+    gathered = np.asarray(
+        multihost_utils.process_allgather(jnp.asarray(local))
+    ).reshape(jax.process_count(), -1)
+    return bool(np.allclose(gathered, gathered[0:1], rtol=1e-6, atol=0.0))

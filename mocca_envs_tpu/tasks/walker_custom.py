@@ -207,6 +207,14 @@ def make_walker3d_custom(
             blowup_count=jnp.zeros((), jnp.int32),
         )
 
+    def _surface_z(scene, xy):
+        # local ground height under ``xy``: heightfield sample when the scene
+        # carries one (Walker3DTerrainEnv reuses this raw_step), else the
+        # plane. has_hf is a static field, so this resolves at trace time.
+        if scene.has_hf:
+            return scene_mod.hf_sample(scene, xy)
+        return scene.ground_z
+
     def raw_step(state: EnvState, action: jnp.ndarray) -> Transition:
         q, qd, info = control(state.q, state.qd, action, state.scene)
 
@@ -214,7 +222,9 @@ def make_walker3d_custom(
         potential = -dist / config.control_dt
         progress = params.w_progress * (potential - state.task.potential)
 
-        tall = q[2] - state.scene.ground_z > params.terminal_height
+        # height above LOCAL terrain — a raw q[2] test over a heightfield
+        # falsely terminates in valleys and masks falls on hills
+        tall = q[2] - _surface_z(state.scene, q[0:2]) > params.terminal_height
         body_touch = jnp.zeros((), q.dtype)
         for l in terminal_links:
             body_touch = jnp.maximum(body_touch, info.link_contact[l])
@@ -227,6 +237,12 @@ def make_walker3d_custom(
         )
         yaw = T.heading_yaw(q)
         new_target = sample_target(kt, q[0:2], yaw)
+        if state.scene.has_hf:
+            # resampled targets sit on the terrain surface (reset does the
+            # same in walker_terrain)
+            new_target = new_target.at[2].set(
+                scene_mod.hf_sample(state.scene, new_target[:2])
+            )
         target = jnp.where(reached, new_target, state.task.target)
         dist_after = jnp.linalg.norm(target[:2] - q[0:2])
         potential = -dist_after / config.control_dt

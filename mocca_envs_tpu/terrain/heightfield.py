@@ -38,14 +38,17 @@ def _native_lib():
         return _LIB
     _LIB_TRIED = True
     so = os.path.abspath(os.path.join(_NATIVE_DIR, "libmocca_native.so"))
-    if not os.path.exists(so):
-        try:
-            subprocess.run(
-                ["make", "-C", os.path.abspath(_NATIVE_DIR)],
-                check=True, capture_output=True, timeout=120,
-            )
-        except Exception as e:  # pragma: no cover - toolchain missing
-            logger.warning("native terrain build failed (%s); using python fallback", e)
+    # ALWAYS run make (it is incremental): a stale committed/foreign binary
+    # must never shadow heightfield.cpp edits — the seeded-terrain
+    # determinism contract depends on the .so matching the source.
+    try:
+        subprocess.run(
+            ["make", "-C", os.path.abspath(_NATIVE_DIR)],
+            check=True, capture_output=True, timeout=120,
+        )
+    except Exception as e:  # pragma: no cover - toolchain missing
+        logger.warning("native terrain build failed (%s)", e)
+        if not os.path.exists(so):
             return None
     try:
         lib = ctypes.CDLL(so)

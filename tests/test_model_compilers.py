@@ -146,6 +146,61 @@ def test_mjcf_hopper_structure():
     np.testing.assert_allclose(model.joint_pos[1], [0, 0, -0.4])
 
 
+MJCF_ROTATED = """
+<mujoco model="rot">
+  <compiler angle="radian"/>
+  <worldbody>
+    <body name="torso" pos="0 0 1">
+      <freejoint/>
+      <inertial mass="5" pos="0 0 0" diaginertia="0.1 0.1 0.05"/>
+      <body name="arm" pos="0.1 0 0" quat="0.7071068 0.7071068 0 0">
+        <joint name="shoulder" type="hinge" axis="0 1 0" pos="0 0 0.05" range="-1 1"/>
+        <inertial mass="1" pos="0 0 -0.2" diaginertia="0.01 0.01 0.002"/>
+        <geom type="sphere" pos="0 0 -0.4" size="0.05"/>
+      </body>
+    </body>
+  </worldbody>
+  <actuator><motor joint="shoulder" gear="10"/></actuator>
+</mujoco>
+"""
+
+
+def test_mjcf_body_quat_folded():
+    """A body rotated 90° about +x: its joint axis, anchor, geoms and com
+    must land where MuJoCo semantics put them (the round-1 compiler dropped
+    body quats entirely — joint_quat stayed identity)."""
+    import jax.numpy as jnp
+
+    from mocca_envs_tpu.ops.kinematics import forward_kinematics
+    from mocca_envs_tpu.ops.collide import sphere_centers
+
+    model = parse_mjcf(MJCF_ROTATED)
+    # body quat folded into the joint frame (90° about x)
+    np.testing.assert_allclose(
+        model.joint_quat[0], [0.7071068, 0.7071068, 0, 0], atol=1e-6
+    )
+    # anchor: body pos + R(quat) @ jpos; R maps +z → +y
+    np.testing.assert_allclose(model.joint_pos[0], [0.1, -0.05, 0.0], atol=1e-6)
+    # com re-rooted at the anchor: inertial pos (0,0,-0.2) − jpos (0,0,0.05)
+    arm = model.link_names.index("arm")
+    np.testing.assert_allclose(model.com[arm], [0, 0, -0.25], atol=1e-6)
+    # FK at zero pose: geom at body-frame (0,0,-0.4) → world: Rx(90°) maps
+    # (0,0,-0.4) to (0,+0.4,0), so the sphere sits at (0.1, 0.4, 0)
+    q = jnp.concatenate(
+        [jnp.zeros(3), jnp.array([1.0, 0, 0, 0]), jnp.zeros(model.nj)]
+    )
+    fd = forward_kinematics(model, q, jnp.zeros(model.nv))
+    c = sphere_centers(model, fd)
+    np.testing.assert_allclose(np.asarray(c[0]), [0.1, 0.4, 0.0], atol=1e-5)
+    # joint axis (0,1,0 in body frame) acts about world (0,0,1) after the
+    # 90°-about-x body rotation: rotating the joint swings the geom in xy
+    q1 = q.at[7].set(0.5)
+    fd1 = forward_kinematics(model, q1, jnp.zeros(model.nv))
+    c1 = np.asarray(sphere_centers(model, fd1)[0])
+    assert abs(c1[2] - 0.0) < 1e-5  # stays in the z=0 plane
+    assert abs(c1[0] - 0.1) > 0.05  # actually moved
+
+
 def test_mjcf_simulates():
     import jax
 

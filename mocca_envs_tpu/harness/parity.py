@@ -171,6 +171,7 @@ def replay_check(
     r_err = np.zeros(T)
     o_err = np.zeros(T)
     ok = True
+    fail = ""
     for t in range(T):
         tr = step(state, jnp.asarray(rec.action[t]))
         state = tr.state
@@ -178,13 +179,21 @@ def replay_check(
         q_err[t] = float(np.max(np.abs(q_now - rec.q[t + 1])))
         r_err[t] = abs(float(tr.reward) - float(rec.reward[t]))
         o_err[t] = float(np.max(np.abs(np.asarray(tr.obs) - rec.obs[t])))
+        # EVERY channel gates: a parity run that matches positions but not
+        # rewards/obs is not parity (BASELINE config 1 compares trajectory,
+        # obs, reward AND return)
         if q_err[t] > gate.envelope(t, gate.q_atol):
-            ok = False
+            ok, fail = False, fail or f"q@{t}"
+        if r_err[t] > gate.envelope(t, gate.reward_atol):
+            ok, fail = False, fail or f"reward@{t}"
+        if o_err[t] > gate.envelope(t, gate.obs_atol):
+            ok, fail = False, fail or f"obs@{t}"
         if bool(tr.done) != bool(rec.done[t]):
-            ok = False
+            ok, fail = False, fail or f"done@{t}"
             break
     return {
         "ok": ok,
+        "first_failure": fail,
         "steps": T,
         "max_q_err": float(q_err.max(initial=0.0)),
         "max_reward_err": float(r_err.max(initial=0.0)),

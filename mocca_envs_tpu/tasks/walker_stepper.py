@@ -133,8 +133,9 @@ def make_walker3d_stepper(
         )
 
     def obs_fn(state: EnvState) -> jnp.ndarray:
-        nfeet = len(model.foot_links)
-        return full_obs(state, jnp.zeros((nfeet,), state.q.dtype))
+        return full_obs(
+            state, T.reset_foot_flags(model, config.contact_margin, state)
+        )
 
     def reset(key: jax.Array, reset_count, prev: EnvState | None = None) -> EnvState:
         ek = rng_mod.reset_key(key, reset_count)

@@ -51,6 +51,37 @@ def test_parity_detects_mismatch(env, model, tmp_path):
     rec.q[3:] += 0.5  # corrupt the golden
     result = parity.replay_check(env, model, rec)
     assert not result["ok"]
+    assert result["first_failure"].startswith("q@")
+
+
+def test_parity_gates_on_reward_and_obs(env, model):
+    """replay_check must gate EVERY channel (VERDICT r1 weak #1): a golden
+    with corrupted rewards/obs but intact positions fails the gate."""
+    rec = parity.record(env, model, seed=7, horizon=8)
+    bad_r = parity.Recording(
+        meta=rec.meta, q=rec.q, qd=rec.qd, action=rec.action,
+        obs=rec.obs, reward=rec.reward + 1.0, done=rec.done,
+    )
+    result = parity.replay_check(env, model, bad_r)
+    assert not result["ok"] and result["first_failure"].startswith("reward@")
+    bad_o = parity.Recording(
+        meta=rec.meta, q=rec.q, qd=rec.qd, action=rec.action,
+        obs=rec.obs + 0.3, reward=rec.reward, done=rec.done,
+    )
+    result = parity.replay_check(env, model, bad_o)
+    assert not result["ok"] and result["first_failure"].startswith("obs@")
+
+
+def test_pybullet_recorder_module_imports_clean():
+    """The reference-side recorder must import with no pybullet/gym/reference
+    installed (import-guarded — SURVEY.md §7.4: parity is ONE command the
+    moment the mount populates)."""
+    import importlib
+
+    mod = importlib.import_module(
+        "mocca_envs_tpu.harness.parity_record_pybullet"
+    )
+    assert callable(mod.record_pybullet) and callable(mod.main)
 
 
 # ------------------------------------------------------------------ PPO

@@ -7,6 +7,7 @@ jit+vmap, flat terrain``) and prints ONE JSON line:
 target (BASELINE.md — the reference itself publishes no numbers).
 
 Env knobs:
+    BENCH_ENV     (default Walker3DCustomEnv-v0)  any registered env ID
     BENCH_BATCH   (default 4096)   env batch size
     BENCH_STEPS   (default 50)     control steps per timed round
     BENCH_ROUNDS  (default 3)      timed rounds (best-of reported)
@@ -34,7 +35,8 @@ def main() -> None:
     T = int(os.environ.get("BENCH_STEPS", "5" if quick else "50"))
     rounds = int(os.environ.get("BENCH_ROUNDS", "1" if quick else "3"))
 
-    env = mocca_envs_tpu.make("Walker3DCustomEnv-v0")
+    env_id = os.environ.get("BENCH_ENV", "Walker3DCustomEnv-v0")
+    env = mocca_envs_tpu.make(env_id)
 
     keys = rng_mod.env_keys(rng_mod.root_key(0), B)
     state = jax.jit(jax.vmap(env.init))(keys)
@@ -67,8 +69,13 @@ def main() -> None:
         best = min(best, time.perf_counter() - t0)
 
     steps_per_s = B * T / best
+    slug = (
+        "walker3d"
+        if env_id == "Walker3DCustomEnv-v0"
+        else env_id.replace("-v0", "").lower()
+    )
     result = {
-        "metric": "walker3d_env_steps_per_s_b%d" % B,
+        "metric": "%s_env_steps_per_s_b%d" % (slug, B),
         "value": round(steps_per_s, 1),
         "unit": "env_steps/s",
         "vs_baseline": round(steps_per_s / 1_000_000.0, 4),

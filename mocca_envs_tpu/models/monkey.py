@@ -23,6 +23,8 @@ from mocca_envs_tpu.ops.step import ConstraintSpec
 PALM_OFFSET = (0.0, 0.0, -0.24)
 GRAB_RADIUS = 0.16   # palm-to-bar engage distance [K-med]
 INITIAL_Z = 0.0      # hands start at bar height; body hangs below
+BAR_RADIUS = 0.03    # handhold capsule radius [K-med: reference MonkeyBar]
+BAR_HALF_LEN = 0.4   # handhold half length [K-med]
 
 
 def _arm(b: ModelBuilder, side: str, sign: float) -> None:
@@ -47,7 +49,8 @@ def _arm(b: ModelBuilder, side: str, sign: float) -> None:
         limit=(-2.9, 0.3), mass=0.7, com=(0, 0, -0.13),
         inertia_diag=(0.005, 0.005, 8e-4), power_coef=25.0, armature=0.006,
     )
-    b.add_sphere(f"{s}_elbow", PALM_OFFSET, 0.035, foot=f"{s}_hand")
+    # palm: grabbing hands WRAP the bar — excluded from bar push-out (B8)
+    b.add_sphere(f"{s}_elbow", PALM_OFFSET, 0.035, foot=f"{s}_hand", no_bar=True)
 
 
 def _leg(b: ModelBuilder, side: str, sign: float) -> None:

@@ -135,6 +135,9 @@ class RobotModel(struct.PyTreeNode):
     sph_pos: jnp.ndarray         # (ns, 3) offset in link frame
     sph_radius: jnp.ndarray      # (ns,)
     sph_foot: jnp.ndarray        # (ns, nfeet) one-hot: sphere s belongs to foot f
+    # 1.0 = sphere skips BAR capsules (grabbing palms wrap the bar; pushing
+    # them out would fight the grab constraint — behavior B8)
+    sph_no_bar: jnp.ndarray      # (ns,)
 
     # ---- ancestry: anc[i, j] = 1.0 iff joint j is on the base→link-i chain
     anc: jnp.ndarray             # (nl, nj)
@@ -261,12 +264,23 @@ class ModelBuilder:
         )
         return self
 
-    def add_sphere(self, link: str, pos, radius: float, foot: str | None = None):
-        """Attach a collision sphere; ``foot`` groups spheres into obs flags."""
+    def add_sphere(
+        self,
+        link: str,
+        pos,
+        radius: float,
+        foot: str | None = None,
+        no_bar: bool = False,
+    ):
+        """Attach a collision sphere; ``foot`` groups spheres into obs flags;
+        ``no_bar`` excludes it from bar-capsule narrowphase (grabbing palms)."""
         if foot is not None and foot not in self.foot_names:
             self.foot_names.append(foot)
         self.spheres.append(
-            (self.link_index(link), np.asarray(pos, dtype=np.float64), float(radius), foot)
+            (
+                self.link_index(link), np.asarray(pos, dtype=np.float64),
+                float(radius), foot, bool(no_bar),
+            )
         )
         return self
 
@@ -315,8 +329,10 @@ class ModelBuilder:
                     l.joint_pos = t + R @ l.joint_pos
                     l.joint_quat = _np_quat_mul(child.joint_quat, l.joint_quat)
             self.spheres = [
-                (p, t + R @ pos, r, foot) if li == fixed_idx else (li, pos, r, foot)
-                for (li, pos, r, foot) in self.spheres
+                (p, t + R @ pos, r, foot, nb)
+                if li == fixed_idx
+                else (li, pos, r, foot, nb)
+                for (li, pos, r, foot, nb) in self.spheres
             ]
             # delete child, remap indices
             del self.links[fixed_idx]
@@ -324,8 +340,8 @@ class ModelBuilder:
                 if l.parent > fixed_idx:
                     l.parent -= 1
             self.spheres = [
-                (li - 1 if li > fixed_idx else li, pos, r, foot)
-                for (li, pos, r, foot) in self.spheres
+                (li - 1 if li > fixed_idx else li, pos, r, foot, nb)
+                for (li, pos, r, foot, nb) in self.spheres
             ]
         del keep
 
@@ -350,13 +366,16 @@ class ModelBuilder:
 
         nfeet = max(1, len(self.foot_names))
         sph_foot = np.zeros((max(1, len(self.spheres)), nfeet))
+        sph_no_bar = np.zeros((max(1, len(self.spheres)),))
         if self.spheres:
             sph_link = np.array([s[0] for s in self.spheres], dtype=np.int32)
             sph_pos = np.stack([s[1] for s in self.spheres])
             sph_radius = np.array([s[2] for s in self.spheres])
-            for si, (_, _, _, foot) in enumerate(self.spheres):
+            for si, (_, _, _, foot, no_bar) in enumerate(self.spheres):
                 if foot is not None:
                     sph_foot[si, self.foot_names.index(foot)] = 1.0
+                if no_bar:
+                    sph_no_bar[si] = 1.0
         else:  # keep shapes static and non-empty
             sph_link = np.zeros((1,), dtype=np.int32)
             sph_pos = np.zeros((1, 3))
@@ -397,6 +416,7 @@ class ModelBuilder:
             sph_pos=a(sph_pos),
             sph_radius=a(sph_radius),
             sph_foot=a(sph_foot),
+            sph_no_bar=a(sph_no_bar),
             anc=a(anc),
             mirror_act_perm=jnp.arange(nj, dtype=jnp.int32),
             mirror_act_sign=a(np.ones(nj)),

@@ -26,6 +26,7 @@ from mocca_envs_tpu.terrain.scene import (
     hf_normal,
     hf_sample,
     sphere_box_depth,
+    sphere_capsule_depth,
 )
 
 
@@ -89,6 +90,23 @@ def collide(model: RobotModel, fd: FrameData, scene: Scene, margin: float) -> Co
             return d[k], n[k], p[k]
 
         depth, normal, pos = jax.vmap(one_sphere)(centers, r)
+        take = depth > best_depth
+        best_depth = jnp.where(take, depth, best_depth)
+        best_normal = jnp.where(take[:, None], normal, best_normal)
+        best_pos = jnp.where(take[:, None], pos, best_pos)
+
+    if scene.has_bars:
+        def one_sphere_bar(c, rad):
+            d, n, p = jax.vmap(
+                lambda a, b2, rb: sphere_capsule_depth(c, rad, a, b2, rb)
+            )(scene.bar_a, scene.bar_b, scene.bar_r)
+            d = jnp.where(scene.bar_active > 0.5, d, big_neg)
+            k = jnp.argmax(d)
+            return d[k], n[k], p[k]
+
+        depth, normal, pos = jax.vmap(one_sphere_bar)(centers, r)
+        # grabbing palms wrap the bar — excluded from bar push-out (B8)
+        depth = jnp.where(model.sph_no_bar > 0.5, big_neg, depth)
         take = depth > best_depth
         best_depth = jnp.where(take, depth, best_depth)
         best_normal = jnp.where(take[:, None], normal, best_normal)

@@ -30,9 +30,10 @@ DESIGN
   REAL array axis ((nr, 8, 128) values) so substitution/Delassus/PGS trace
   to ~hundreds of vector ops instead of tens of thousands of scalar ops.
 
-Scope: floating-base all-revolute models over plane ∪ stone scenes
-(heightfields route to the JAX path). ops/step.py remains the oracle for
-every configuration and for CPU; equivalence is gated by
+Scope: floating-base all-revolute models over plane ∪ stone-box ∪
+heightfield scenes (heightfields via a per-env local patch + one-hot
+bilinear sampling — no Mosaic gather needed). ops/step.py remains the
+oracle for every configuration and for CPU; equivalence is gated by
 tests/test_pallas_engine.py in interpret mode and by on-TPU numeric checks.
 """
 
@@ -171,11 +172,14 @@ def supports(model: RobotModel, constraints=None, scene_has_stones=False) -> boo
     """Whether the fused kernel covers this configuration (else JAX path).
 
     Covers: floating all-revolute models; p2p rods, planar locks and
-    runtime grab constraints; flat ∪ stone-box scenes. (Heightfield scenes
-    and fixed-base rigs stay on the JAX path.)
+    runtime grab constraints; flat ∪ stone-box ∪ heightfield scenes.
+    (Fixed-base rigs and grids smaller than HF_PATCH stay on the JAX path.)
     """
     del constraints, scene_has_stones  # all supported now
     return model.floating and all(t == REVOLUTE for t in model.jtype)
+
+
+HF_PATCH = 16   # side of the per-env local heightfield patch (cells)
 
 
 def make_pallas_substep(
@@ -186,6 +190,8 @@ def make_pallas_substep(
     constraints=None,
     extra_damping=None,
     pd_mode: bool = False,
+    hf_patch: int = 0,
+    num_bars: int = 0,
 ):
     """Build the fused substep running ``config.sim_substeps`` physics
     substeps on TPU.
@@ -194,8 +200,21 @@ def make_pallas_substep(
         ``substep(q, qd, tau, ground_z, friction
                   [, stone_pos (B,K,3), stone_quat (B,K,4),
                      stone_half (B,K,3), stone_active (B,K)]   # K > 0
+                  [, hf_patch (B,P,P), hf_x0 (B,), hf_y0 (B,),
+                     hf_cell (B,)]                             # hf_patch=P>0
+                  [, bar_a (B,Kb,3), bar_b (B,Kb,3),
+                     bar_r (B,Kb), bar_active (B,Kb)]          # num_bars>0
                   [, grab_active (B,ng), grab_target (B,ng,3)] # ng > 0
         ) → (q', qd', depth (B,ns), normal_impulse (B,ns))``
+
+    ``hf_patch=P`` enables heightfield narrowphase against a per-env P×P
+    LOCAL grid patch (extracted around the root by ops/step.py once per
+    control step — Mosaic has no vector gather, so the full-grid lookup
+    happens on the XLA side and the kernel samples the patch by a two-level
+    one-hot contraction, ~2(P−1)P MACs/sphere). Depth/normal/contact-point
+    formulas are shared verbatim with terrain/scene.{hf_sample, hf_normal},
+    so kernel ≡ oracle wherever all spheres stay inside the patch (the
+    patch spans P·cell ≈ 5 m; robot reach ≈ 1.2 m).
 
     ``constraints`` (ops/step.ConstraintSpec) adds equality rows: permanent
     point-to-point rods (Cassie achilles), planar base locks (2D variants)
@@ -213,6 +232,8 @@ def make_pallas_substep(
     equivalence-test path against the JAX oracle."""
     assert supports(model), "unsupported model for the fused kernel"
     K = int(num_stones)
+    PHF = int(hf_patch)
+    KB = int(num_bars)
     from mocca_envs_tpu.ops.step import ConstraintSpec
 
     spec = constraints or ConstraintSpec()
@@ -257,6 +278,7 @@ def make_pallas_substep(
     sph_link = [int(v) for v in np.asarray(model.sph_link)]
     sph_pos_c = [_const_v3(_sph_pos[s]) for s in range(ns)]
     sph_r = [float(_sph_r[s]) for s in range(ns)]
+    sph_no_bar = [bool(v > 0.5) for v in np.asarray(model.sph_no_bar)]
     damping_c = np.asarray(model.damping, dtype=np.float64)
     if extra_damping is not None:
         damping_c = damping_c + np.asarray(extra_damping, dtype=np.float64)
@@ -297,6 +319,21 @@ def make_pallas_substep(
             stq = (st(3), st(4), st(5), st(6))
             sth = (st(7), st(8), st(9))
             sta = st(10)
+        if PHF > 0:
+            hf_ref = rest.pop(0)
+            # channels: [patch row-major (P·P), x0, y0, cell]
+            hfp = [hf_ref[c] for c in range(PHF * PHF)]
+            hf_x0 = hf_ref[PHF * PHF]
+            hf_y0 = hf_ref[PHF * PHF + 1]
+            hf_icell = 1.0 / hf_ref[PHF * PHF + 2]
+        if KB > 0:
+            bars_ref = rest.pop(0)
+            # per bar k, components: [a(3), b(3), r, active]
+            bt = lambda c: jnp.stack([bars_ref[k * 8 + c] for k in range(KB)])
+            bA = (bt(0), bt(1), bt(2))          # (KB, 8, 128) each
+            bB = (bt(3), bt(4), bt(5))
+            bR = bt(6)
+            bACT = bt(7)
         if ng > 0:
             grab_ref = rest.pop(0)
             # per grab g: [active, target_x, target_y, target_z]
@@ -347,7 +384,9 @@ def make_pallas_substep(
             com_w = [v3add(pos[l], mat_vec(R[l], com_c[l])) for l in range(nl)]
             Iw = [rot_inertia(R[l], inertia_rows(l)) for l in range(nl)]
 
-            # ---------------- collide: spheres vs ground plane (∪ stone boxes)
+            # ---------------- collide: spheres vs ground ∪ heightfield ∪ boxes
+            # merge order (strict > on depth) matches the oracle
+            # ops/collide.collide: ground, then heightfield, then stones.
             centers = [v3add(pos[sph_link[s]], mat_vec(R[sph_link[s]], sph_pos_c[s]))
                        for s in range(ns)]
             depth = []
@@ -355,52 +394,141 @@ def make_pallas_substep(
             cpoint = []   # per-sphere contact point
             for s in range(ns):
                 c = centers[s]
-                d_g = sub_(sph_r[s], sub_(c[2], ground))
-                n_g = (0.0, 0.0, 1.0)
-                x_g = (c[0], c[1], ground)
-                if K == 0:
-                    depth.append(d_g)
-                    normal.append(n_g)
-                    cpoint.append(x_g)
-                    continue
-                # sphere vs K boxes, vectorized over the stone axis
-                cb = (c[0][None], c[1][None], c[2][None])     # broadcast (1,8,128)
-                rel = v3sub(cb, stp)
-                qc = (stq[0], -stq[1], -stq[2], -stq[3])
-                dl = qrot(qc, rel)                            # center in box frame
-                cl = tuple(jnp.clip(dl[a], -sth[a], sth[a]) for a in range(3))
-                delta = v3sub(dl, cl)
-                dist = jnp.sqrt(dot3(delta, delta) + 1e-18)
-                outside = dist > 1e-6
-                fd = tuple(sth[a] - jnp.abs(dl[a]) for a in range(3))
-                fmin = jnp.minimum(jnp.minimum(fd[0], fd[1]), fd[2])
-                n_in = tuple(
-                    jnp.sign(dl[a]) * (fd[a] <= fmin).astype(jnp.float32)
-                    for a in range(3)
-                )
-                n_loc = tuple(
-                    jnp.where(outside, delta[a] / dist, n_in[a]) for a in range(3)
-                )
-                d_k = jnp.where(outside, sph_r[s] - dist, sph_r[s] + fmin)
-                d_k = jnp.where(sta > 0.5, d_k, -1e9)
-                surf = tuple(
-                    jnp.where(outside, cl[a], dl[a] + n_loc[a] * fmin)
-                    for a in range(3)
-                )
-                n_w = qrot(stq, n_loc)
-                x_w = v3add(stp, qrot(stq, surf))
-                best = jnp.max(d_k, axis=0)
-                oh = (d_k == best).astype(jnp.float32)
-                cnt = jnp.maximum(jnp.sum(oh, axis=0), 1.0)
-                sel = lambda comp: jnp.sum(comp * oh, axis=0) / cnt
-                take_g = d_g > best
-                depth.append(jnp.where(take_g, d_g, best))
-                normal.append(tuple(
-                    jnp.where(take_g, n_g[a], sel(n_w[a])) for a in range(3)
-                ))
-                cpoint.append(tuple(
-                    jnp.where(take_g, x_g[a], sel(x_w[a])) for a in range(3)
-                ))
+                best_d = sub_(sph_r[s], sub_(c[2], ground))
+                best_n = (0.0, 0.0, 1.0)
+                best_x = (c[0], c[1], ground)
+
+                if PHF > 0:
+                    # bilinear sample of the local patch by two-level one-hot
+                    # (row pair gather, then column weights) — formulas shared
+                    # with terrain/scene.hf_corners/hf_sample/hf_normal
+                    u = jnp.clip((c[0] - hf_x0) * hf_icell, 0.0, PHF - 1.001)
+                    v = jnp.clip((c[1] - hf_y0) * hf_icell, 0.0, PHF - 1.001)
+                    iu = jnp.floor(u)
+                    iv = jnp.floor(v)
+                    fu = u - iu
+                    fv = v - iv
+                    ohr = [(iu == float(k)).astype(jnp.float32)
+                           for k in range(PHF - 1)]
+                    ohc = [(iv == float(k)).astype(jnp.float32)
+                           for k in range(PHF - 1)]
+                    row_a = []   # heights along row iu
+                    row_b = []   # heights along row iu + 1
+                    for j in range(PHF):
+                        sa = ohr[0] * hfp[j]
+                        sb = ohr[0] * hfp[PHF + j]
+                        for k in range(1, PHF - 1):
+                            sa = sa + ohr[k] * hfp[k * PHF + j]
+                            sb = sb + ohr[k] * hfp[(k + 1) * PHF + j]
+                        row_a.append(sa)
+                        row_b.append(sb)
+                    h00 = ohc[0] * row_a[0]
+                    h01 = ohc[0] * row_a[1]
+                    h10 = ohc[0] * row_b[0]
+                    h11 = ohc[0] * row_b[1]
+                    for j in range(1, PHF - 1):
+                        h00 = h00 + ohc[j] * row_a[j]
+                        h01 = h01 + ohc[j] * row_a[j + 1]
+                        h10 = h10 + ohc[j] * row_b[j]
+                        h11 = h11 + ohc[j] * row_b[j + 1]
+                    gu = 1.0 - fu
+                    gv = 1.0 - fv
+                    hgt = h00 * gu * gv + h10 * fu * gv + h01 * gu * fv + h11 * fu * fv
+                    dhdu = (h10 - h00) * gv + (h11 - h01) * fv
+                    dhdv = (h01 - h00) * gu + (h11 - h10) * fu
+                    ngx = -dhdu * hf_icell
+                    ngy = -dhdv * hf_icell
+                    ninv = jax.lax.rsqrt(ngx * ngx + ngy * ngy + 1.0)
+                    d_hf = sph_r[s] - (c[2] - hgt) * ninv
+                    take = d_hf > best_d
+                    best_d = jnp.where(take, d_hf, best_d)
+                    best_n = tuple(
+                        jnp.where(take, nh, bn)
+                        for nh, bn in zip((ngx * ninv, ngy * ninv, ninv), best_n)
+                    )
+                    best_x = tuple(
+                        jnp.where(take, xh, bx)
+                        for xh, bx in zip((c[0], c[1], hgt), best_x)
+                    )
+
+                if K > 0:
+                    # sphere vs K boxes, vectorized over the stone axis
+                    cb = (c[0][None], c[1][None], c[2][None])  # (1,8,128)
+                    rel = v3sub(cb, stp)
+                    qc = (stq[0], -stq[1], -stq[2], -stq[3])
+                    dl = qrot(qc, rel)                         # box frame
+                    cl = tuple(jnp.clip(dl[a], -sth[a], sth[a]) for a in range(3))
+                    delta = v3sub(dl, cl)
+                    dist = jnp.sqrt(dot3(delta, delta) + 1e-18)
+                    outside = dist > 1e-6
+                    fd = tuple(sth[a] - jnp.abs(dl[a]) for a in range(3))
+                    fmin = jnp.minimum(jnp.minimum(fd[0], fd[1]), fd[2])
+                    n_in = tuple(
+                        jnp.sign(dl[a]) * (fd[a] <= fmin).astype(jnp.float32)
+                        for a in range(3)
+                    )
+                    n_loc = tuple(
+                        jnp.where(outside, delta[a] / dist, n_in[a]) for a in range(3)
+                    )
+                    d_k = jnp.where(outside, sph_r[s] - dist, sph_r[s] + fmin)
+                    d_k = jnp.where(sta > 0.5, d_k, -1e9)
+                    surf = tuple(
+                        jnp.where(outside, cl[a], dl[a] + n_loc[a] * fmin)
+                        for a in range(3)
+                    )
+                    n_w = qrot(stq, n_loc)
+                    x_w = v3add(stp, qrot(stq, surf))
+                    best = jnp.max(d_k, axis=0)
+                    oh = (d_k == best).astype(jnp.float32)
+                    cnt = jnp.maximum(jnp.sum(oh, axis=0), 1.0)
+                    sel = lambda comp: jnp.sum(comp * oh, axis=0) / cnt
+                    take = best > best_d
+                    best_d = jnp.where(take, best, best_d)
+                    best_n = tuple(
+                        jnp.where(take, sel(n_w[a]), best_n[a]) for a in range(3)
+                    )
+                    best_x = tuple(
+                        jnp.where(take, sel(x_w[a]), best_x[a]) for a in range(3)
+                    )
+
+                if KB > 0 and not sph_no_bar[s]:
+                    # sphere vs KB bar capsules (grabbing palms statically
+                    # excluded — they wrap the bar, behavior B8)
+                    cb = (c[0][None], c[1][None], c[2][None])
+                    rel = v3sub(cb, bA)
+                    abv = v3sub(bB, bA)
+                    denom = jnp.maximum(dot3(abv, abv), 1e-12)
+                    tpar = jnp.clip(dot3(rel, abv) / denom, 0.0, 1.0)
+                    closest = v3add(bA, v3scale(abv, tpar))
+                    delta = v3sub(cb, closest)
+                    dist = jnp.sqrt(dot3(delta, delta) + 1e-18)
+                    okn = dist > 1e-9
+                    n_k = tuple(
+                        jnp.where(okn, delta[a] / jnp.maximum(dist, 1e-9),
+                                  1.0 if a == 2 else 0.0)
+                        for a in range(3)
+                    )
+                    d_k = sph_r[s] + bR - dist
+                    d_k = jnp.where(bACT > 0.5, d_k, -1e9)
+                    x_k = tuple(
+                        closest[a] + n_k[a] * bR for a in range(3)
+                    )
+                    bbest = jnp.max(d_k, axis=0)
+                    oh = (d_k == bbest).astype(jnp.float32)
+                    cnt = jnp.maximum(jnp.sum(oh, axis=0), 1.0)
+                    sel = lambda comp: jnp.sum(comp * oh, axis=0) / cnt
+                    take = bbest > best_d
+                    best_d = jnp.where(take, bbest, best_d)
+                    best_n = tuple(
+                        jnp.where(take, sel(n_k[a]), best_n[a]) for a in range(3)
+                    )
+                    best_x = tuple(
+                        jnp.where(take, sel(x_k[a]), best_x[a]) for a in range(3)
+                    )
+
+                depth.append(best_d)
+                normal.append(best_n)
+                cpoint.append(best_x)
             active = [(depth[s] > -margin).astype(jnp.float32) for s in range(ns)]
 
             def tangent_frame(n):
@@ -832,6 +960,27 @@ def make_pallas_substep(
             )                                  # (B, K, 11)
             inputs.append(reshape_in(packed.reshape(B, K * 11), K * 11))
             in_specs.append(spec(K * 11))
+        if PHF > 0:
+            patch, hf_x0, hf_y0, hf_cell = extra[ei:ei + 4]
+            ei += 4
+            packed_h = jnp.concatenate(
+                [
+                    patch.reshape(B, PHF * PHF),
+                    hf_x0[:, None], hf_y0[:, None], hf_cell[:, None],
+                ],
+                axis=1,
+            )                                  # (B, P·P + 3)
+            inputs.append(reshape_in(packed_h, PHF * PHF + 3))
+            in_specs.append(spec(PHF * PHF + 3))
+        if KB > 0:
+            bar_a, bar_b, bar_r, bar_active = extra[ei:ei + 4]
+            ei += 4
+            packed_b = jnp.concatenate(
+                [bar_a, bar_b, bar_r[:, :, None], bar_active[:, :, None]],
+                axis=2,
+            )                                  # (B, Kb, 8)
+            inputs.append(reshape_in(packed_b.reshape(B, KB * 8), KB * 8))
+            in_specs.append(spec(KB * 8))
         if ng > 0:
             g_active, g_target = extra[ei:ei + 2]
             packed_g = jnp.concatenate(

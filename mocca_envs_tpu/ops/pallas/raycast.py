@@ -7,10 +7,13 @@ probes for terrain queries). Use cases here: terrain-aware observations
 checks for vision-based footstep planning experiments.
 
 Kernel shape: rays are marched against the heightfield by fixed-step
-sampling with one bilinear height fetch per step — a gather per (ray, step).
-Batch-in-lanes like the engine kernel: each (8, 128) tile holds 1024 rays;
-the heightfield grid lives in VMEM (typical 65²–257² grids fit easily) and
-gathers are per-lane dynamic loads.
+sampling with one bilinear height fetch per step. Batch-in-lanes like the
+engine kernel: each (8, 128) tile holds 1024 rays; the heightfield grid
+lives in VMEM (typical 65²–257² grids fit easily). Mosaic has no per-lane
+vector gather, so the fetch is a two-level one-hot contraction over
+STATICALLY indexed grid scalars — ~2·H·W MACs per march step, which lowers
+on today's Mosaic (the engine kernel's heightfield patch sampling uses the
+same trick at patch scale).
 
 Returns the hit parameter t ∈ [0, max_t] (max_t when no hit) and the hit
 height. A pure-JAX reference implementation (``raycast_reference``) is the
@@ -93,12 +96,9 @@ def make_raycaster(
 ):
     """Build ``raycast(origins (B,3), dirs (B,3), hf, xy0, cell) → (t, h)``.
 
-    NOTE: current Mosaic lacks per-lane vector gather, so the kernel only
-    lowers in interpret mode today; on hardware the builder probes the
-    lowering once and transparently falls back to the jitted XLA oracle
-    (which lowers gathers natively). The kernel stays as the intended
-    implementation for when Mosaic grows dynamic gather (or for a one-hot
-    matmul sampling variant if raycast ever becomes hot).
+    The kernel samples by one-hot contraction (no gather), so it lowers on
+    Mosaic. The builder still probes the lowering once (backends change) and
+    falls back to the jitted XLA oracle if the probe fails.
     """
     H, W = hf_shape
 
@@ -133,14 +133,35 @@ def make_raycaster(
         def sample(px, py):
             u = jnp.clip((px - x0) / cell, 0.0, H - 1.001)
             v = jnp.clip((py - y0) / cell, 0.0, W - 1.001)
-            i0 = jnp.floor(u).astype(jnp.int32)
-            j0 = jnp.floor(v).astype(jnp.int32)
-            fu = u - i0.astype(jnp.float32)
-            fv = v - j0.astype(jnp.float32)
-            h00 = hf[i0, j0]
-            h10 = hf[i0 + 1, j0]
-            h01 = hf[i0, j0 + 1]
-            h11 = hf[i0 + 1, j0 + 1]
+            iu = jnp.floor(u)
+            iv = jnp.floor(v)
+            fu = u - iu
+            fv = v - iv
+            # two-level one-hot bilinear fetch: grid entries are STATIC
+            # scalar loads; per-lane selection is arithmetic (no gather) —
+            # same trick as the engine kernel's heightfield patch, at full
+            # grid scale. Column stage first (shared across the row pair).
+            ohc = [(iv == float(j)).astype(jnp.float32) for j in range(W - 1)]
+            s0 = []  # Σ_j ohc[j]·hf[k, j]     per row k
+            s1 = []  # Σ_j ohc[j]·hf[k, j+1]
+            for k in range(H):
+                a = ohc[0] * hf[k, 0]
+                b = ohc[0] * hf[k, 1]
+                for j in range(1, W - 1):
+                    a = a + ohc[j] * hf[k, j]
+                    b = b + ohc[j] * hf[k, j + 1]
+                s0.append(a)
+                s1.append(b)
+            ohr = [(iu == float(k)).astype(jnp.float32) for k in range(H - 1)]
+            h00 = ohr[0] * s0[0]
+            h01 = ohr[0] * s1[0]
+            h10 = ohr[0] * s0[1]
+            h11 = ohr[0] * s1[1]
+            for k in range(1, H - 1):
+                h00 = h00 + ohr[k] * s0[k]
+                h01 = h01 + ohr[k] * s1[k]
+                h10 = h10 + ohr[k] * s0[k + 1]
+                h11 = h11 + ohr[k] * s1[k + 1]
             return (
                 h00 * (1 - fu) * (1 - fv) + h10 * fu * (1 - fv)
                 + h01 * (1 - fu) * fv + h11 * fu * fv

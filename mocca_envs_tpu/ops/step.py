@@ -359,65 +359,48 @@ def _make_llc_unit(model: RobotModel, config: EngineConfig, substep,
     from mocca_envs_tpu.ops.pallas import engine as pallas_engine
 
     TILE = pallas_engine.TILE
+    HF_PATCH = pallas_engine.HF_PATCH
     has_grabs = constraints.num_grabs > 0
-    _units: dict = {}   # num_stones → custom_vmap'd llc unit
+    _units: dict = {}   # (num_stones, has_hf) → custom_vmap'd llc unit
 
-    def _get_unit(num_stones: int):
-        if num_stones in _units:
-            return _units[num_stones]
+    def _get_unit(num_stones: int, has_hf: bool = False, num_bars: int = 0):
+        ukey = (num_stones, has_hf, num_bars)
+        if ukey in _units:
+            return _units[ukey]
         fused = pallas_engine.make_pallas_substep(
             model, config, num_stones=num_stones,
             constraints=constraints, extra_damping=extra_damping,
-            pd_mode=pd_mode,
+            pd_mode=pd_mode, hf_patch=HF_PATCH if has_hf else 0,
+            num_bars=num_bars,
         )
 
-        def _scene(ground_z, friction, stones=()):
-            if not stones:
-                return Scene(ground_z=ground_z, friction=friction)
-            sp, sq, sh, sa = stones
-            return Scene(
-                has_ground=True, has_stones=True,
-                ground_z=ground_z, friction=friction,
-                stone_pos=sp, stone_quat=sq, stone_half=sh, stone_active=sa,
-            )
-
-        if num_stones == 0 and not has_grabs:
-
-            def _base(q, qd, tau_j, ground_z, friction):
-                qq, dd, info = jax_unit(q, qd, tau_j, _scene(ground_z, friction))
-                return qq, dd, info.contacts.depth, info.normal_impulse
-
-        elif num_stones == 0 and has_grabs:
-
-            def _base(q, qd, tau_j, ground_z, friction, ga, gt):
-                qq, dd, info = jax_unit(
-                    q, qd, tau_j, _scene(ground_z, friction), ga, gt
+        # The oracle fallback sees the SAME inputs as the kernel — for hf
+        # scenes that means the extracted local patch as a small Scene
+        # heightfield, so kernel and fallback agree for any batch size.
+        def _base(q, qd, tau_j, ground_z, friction, *rest):
+            rest = list(rest)
+            kw = dict(ground_z=ground_z, friction=friction)
+            if num_stones > 0:
+                kw.update(
+                    has_stones=True, stone_pos=rest.pop(0),
+                    stone_quat=rest.pop(0), stone_half=rest.pop(0),
+                    stone_active=rest.pop(0),
                 )
-                return qq, dd, info.contacts.depth, info.normal_impulse
-
-        elif not has_grabs:
-
-            def _base(q, qd, tau_j, ground_z, friction, sp, sq, sh, sa):
-                qq, dd, info = jax_unit(
-                    q, qd, tau_j, _scene(ground_z, friction, (sp, sq, sh, sa))
+            if has_hf:
+                patch, px0, py0, cell = rest[:4]
+                rest = rest[4:]
+                kw.update(
+                    has_hf=True, hf_height=patch,
+                    hf_xy0=jnp.stack([px0, py0]), hf_cell=cell,
                 )
-                return qq, dd, info.contacts.depth, info.normal_impulse
-
-        else:
-
-            def _base(q, qd, tau_j, ground_z, friction, sp, sq, sh, sa, ga, gt):
-                qq, dd, info = jax_unit(
-                    q, qd, tau_j, _scene(ground_z, friction, (sp, sq, sh, sa)),
-                    ga, gt,
+            if num_bars > 0:
+                kw.update(
+                    has_bars=True, bar_a=rest.pop(0), bar_b=rest.pop(0),
+                    bar_r=rest.pop(0), bar_active=rest.pop(0),
                 )
-                return qq, dd, info.contacts.depth, info.normal_impulse
-
-        def _fused_call(*args):
-            if has_grabs:
-                # fused kernel wants grabs packed as (B, ng, 4)
-                *rest, ga, gt = args
-                return fused(*rest, ga, gt)
-            return fused(*args)
+            ga_gt = tuple(rest)   # (grab_active, grab_target) or ()
+            qq, dd, info = jax_unit(q, qd, tau_j, Scene(**kw), *ga_gt)
+            return qq, dd, info.contacts.depth, info.normal_impulse
 
         unit = custom_vmap(_base)
 
@@ -425,33 +408,56 @@ def _make_llc_unit(model: RobotModel, config: EngineConfig, substep,
         def _rule(axis_size, in_batched, *args):
             assert all(in_batched), "fused path expects fully batched state"
             if axis_size % TILE == 0:
-                out = _fused_call(*args)
+                out = fused(*args)
             else:
                 out = jax.vmap(_base)(*args)
             return out, (True, True, True, True)
 
-        _units[num_stones] = unit
+        _units[ukey] = unit
         return unit
 
+    def _hf_patch_args(q, scene: Scene):
+        """Extract the P×P local patch around the root (per control step —
+        the robot moves ~cm per step vs the ~2 m patch margin). Gather runs
+        on the XLA side where it is native; the kernel samples the patch."""
+        P = HF_PATCH
+        H, W = scene.hf_height.shape
+        uv = (q[0:2] - scene.hf_xy0) / scene.hf_cell
+        si = jnp.clip(jnp.floor(uv[0]).astype(jnp.int32) - P // 2, 0, H - P)
+        sj = jnp.clip(jnp.floor(uv[1]).astype(jnp.int32) - P // 2, 0, W - P)
+        patch = jax.lax.dynamic_slice(scene.hf_height, (si, sj), (P, P))
+        px0 = scene.hf_xy0[0] + si.astype(patch.dtype) * scene.hf_cell
+        py0 = scene.hf_xy0[1] + sj.astype(patch.dtype) * scene.hf_cell
+        return patch, px0, py0, jnp.broadcast_to(scene.hf_cell, ())
+
     def pallas_unit(q, qd, tau_j, scene: Scene, grab_active=None, grab_target=None):
-        if scene.has_hf:
-            # heightfield narrowphase is not in the fused kernel (yet);
-            # static flag → this branch resolves at trace time
+        has_hf = scene.has_hf
+        if has_hf and min(scene.hf_height.shape) < HF_PATCH:
+            # grid smaller than a patch: stay on the JAX path (trace-time)
             return jax_unit(q, qd, tau_j, scene, grab_active, grab_target)
         grabs = (grab_active, grab_target) if has_grabs else ()
+        # disable the plane for no-ground scenes by sinking it (the fused
+        # kernel always evaluates a plane term; at −1e9 it never wins).
+        # Derived from the batched leaf so custom_vmap sees it as batched.
+        gz = scene.ground_z if scene.has_ground else scene.ground_z * 0.0 - 1e9
+        stones = ()
+        ksize = 0
         if scene.has_stones:
             ksize = scene.stone_pos.shape[-2]
-            unit = _get_unit(ksize)
-            qq, dd, depth, nimp = unit(
-                q, qd, tau_j, scene.ground_z, scene.friction,
-                scene.stone_pos, scene.stone_quat, scene.stone_half,
-                scene.stone_active, *grabs,
+            stones = (
+                scene.stone_pos, scene.stone_quat,
+                scene.stone_half, scene.stone_active,
             )
-        else:
-            unit = _get_unit(0)
-            qq, dd, depth, nimp = unit(
-                q, qd, tau_j, scene.ground_z, scene.friction, *grabs
-            )
+        hf_args = _hf_patch_args(q, scene) if has_hf else ()
+        bars = ()
+        kb = 0
+        if scene.has_bars:
+            kb = scene.bar_a.shape[-2]
+            bars = (scene.bar_a, scene.bar_b, scene.bar_r, scene.bar_active)
+        unit = _get_unit(ksize, has_hf, kb)
+        qq, dd, depth, nimp = unit(
+            q, qd, tau_j, gz, scene.friction, *stones, *hf_args, *bars, *grabs
+        )
         contacts = collide_mod.Contacts(
             pos=jnp.zeros((model.ns, 3), dtype=qq.dtype),
             normal=jnp.broadcast_to(

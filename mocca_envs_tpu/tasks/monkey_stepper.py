@@ -103,9 +103,24 @@ def _sample_bars(params: MonkeyParams, key: jax.Array):
     return pos, bar_dir
 
 
-def _closest_on_bar(bar_pos, bar_dir, p, half_len=0.4):
+def _closest_on_bar(bar_pos, bar_dir, p, half_len=monkey.BAR_HALF_LEN):
     t = jnp.clip(jnp.dot(p - bar_pos, bar_dir), -half_len, half_len)
     return bar_pos + t * bar_dir
+
+
+def _bar_scene(bar_pos, bar_dir):
+    """Scene with the handhold chain as SOLID capsules (reference
+    ``bullet_objects.py::MonkeyBar`` collision shapes — VERDICT r1 #6): the
+    body collides with bars; grabbing palms are statically excluded
+    (``sph_no_bar``) because a wrapped hand must not be pushed out."""
+    ext = monkey.BAR_HALF_LEN * bar_dir
+    return scene_mod.Scene(
+        has_ground=True, has_bars=True,
+        ground_z=jnp.asarray(-8.0),
+        bar_a=bar_pos - ext, bar_b=bar_pos + ext,
+        bar_r=jnp.full(bar_pos.shape[:1], monkey.BAR_RADIUS),
+        bar_active=jnp.ones(bar_pos.shape[:1]),
+    )
 
 
 def make_monkey3d_stepper(
@@ -205,7 +220,7 @@ def make_monkey3d_stepper(
             reset_count=jnp.asarray(reset_count, jnp.int32),
             steps=jnp.zeros((), jnp.int32),
             task=task,
-            scene=scene_mod.flat(ground_z=-8.0),
+            scene=_bar_scene(bar_pos, bar_dir),
             done=jnp.zeros((), jnp.bool_),
             blowup_count=jnp.zeros((), jnp.int32),
         )

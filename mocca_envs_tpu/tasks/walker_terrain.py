@@ -9,9 +9,10 @@ the same API shape.
 Design: each env slot gets its own fractal heightfield, generated host-side
 at init (native C++ diamond-square, terrain/heightfield.py) and CARRIED
 ACROSS AUTO-RESETS via the reset(prev_state) contract — terrain is per-slot
-persistent, spawn pose re-randomizes per episode. Physics runs on the JAX
-path (the fused kernel covers plane/stone scenes; heightfield narrowphase is
-a kernel-v3 candidate).
+persistent, spawn pose re-randomizes per episode. On TPU, physics runs in
+the fused Pallas kernel: ops/step.py extracts a 16×16 local patch around the
+root each control step and the kernel bilinearly samples it (one-hot
+contraction — ops/pallas/engine.py).
 """
 
 from __future__ import annotations
@@ -23,10 +24,27 @@ import jax.numpy as jnp
 
 from mocca_envs_tpu.envs.env import EnvState
 from mocca_envs_tpu.models import walker3d
+from mocca_envs_tpu.tasks import base as T
 from mocca_envs_tpu.tasks.walker_custom import WalkerParams, make_walker3d_custom
 from mocca_envs_tpu.terrain.heightfield import fractal_heightfield
 from mocca_envs_tpu.terrain.scene import Scene, hf_sample
 from mocca_envs_tpu.utils.config import EngineConfig
+
+# Terrain height probes appended to the obs (SURVEY.md §2.3 rayTest: the
+# reference ecosystem used ray probes for terrain perception; here vertical
+# probes = heightfield samples — the general oblique-ray API is
+# ops/pallas/raycast). Offsets are (forward, left) in the HEADING frame,
+# meters; mirror pairs under y-reflection: 3↔4, 5↔6 (rest self-mirror).
+PROBE_OFFSETS = np.array(
+    [
+        (0.35, 0.0), (0.70, 0.0), (1.05, 0.0),
+        (0.35, 0.35), (0.35, -0.35),
+        (0.70, 0.70), (0.70, -0.70),
+        (-0.35, 0.0),
+    ],
+    dtype=np.float32,
+)
+_PROBE_MIRROR = (0, 1, 2, 4, 3, 6, 5, 7)
 
 
 def make_walker3d_terrain(
@@ -82,15 +100,50 @@ def make_walker3d_terrain(
         tgt = tgt.at[2].set(hf_sample(scene, tgt[0:2]))
         return state.replace(q=q, scene=scene, task=state.task.replace(target=tgt))
 
+    offsets = jnp.asarray(PROBE_OFFSETS)
+    K = offsets.shape[0]
+
+    def _probes(state: EnvState) -> jnp.ndarray:
+        """K terrain heights around the robot, heading-frame ring, relative
+        to the surface under the root — the env's terrain perception."""
+        yaw = T.heading_yaw(state.q)
+        c, s = jnp.cos(yaw), jnp.sin(yaw)
+        world = state.q[0:2] + jnp.stack(
+            [
+                c * offsets[:, 0] - s * offsets[:, 1],
+                s * offsets[:, 0] + c * offsets[:, 1],
+            ],
+            axis=1,
+        )                                                    # (K, 2)
+        h = hf_sample(state.scene, world)
+        return h - hf_sample(state.scene, state.q[0:2])
+
+    def obs_fn(state: EnvState) -> jnp.ndarray:
+        return jnp.concatenate([base.obs_fn(state), _probes(state)])
+
+    def raw_step(state: EnvState, action):
+        tr = base.step_no_reset(state, action)
+        return tr.replace(obs=jnp.concatenate([tr.obs, _probes(tr.state)]))
+
+    # extend the mirror maps: probe block permutes left/right, signs +1
+    mirror = dict(base.mirror)
+    nb = base.obs_dim
+    mirror["obs_perm"] = jnp.concatenate(
+        [mirror["obs_perm"], nb + jnp.asarray(_PROBE_MIRROR, dtype=jnp.int32)]
+    )
+    mirror["obs_sign"] = jnp.concatenate(
+        [mirror["obs_sign"], jnp.ones(K, dtype=jnp.float32)]
+    )
+
     from mocca_envs_tpu.envs.env import make_fn_env
 
     return make_fn_env(
         name=name,
-        obs_dim=base.obs_dim,
+        obs_dim=base.obs_dim + K,
         act_dim=base.act_dim,
         reset=reset,
-        raw_step=base.step_no_reset,
-        obs_fn=base.obs_fn,
+        raw_step=raw_step,
+        obs_fn=obs_fn,
         control_dt=base.control_dt,
-        mirror=base.mirror,
+        mirror=mirror,
     )

@@ -27,6 +27,7 @@ class Scene(struct.PyTreeNode):
     has_ground: bool = struct.field(pytree_node=False, default=True)
     has_stones: bool = struct.field(pytree_node=False, default=False)
     has_hf: bool = struct.field(pytree_node=False, default=False)
+    has_bars: bool = struct.field(pytree_node=False, default=False)
 
     # infinite ground plane z = ground_z
     ground_z: jnp.ndarray = struct.field(default_factory=lambda: jnp.zeros(()))
@@ -41,6 +42,12 @@ class Scene(struct.PyTreeNode):
     hf_height: jnp.ndarray | None = None     # (H, W)
     hf_xy0: jnp.ndarray | None = None        # (2,) world xy of grid[0, 0]
     hf_cell: jnp.ndarray | None = None       # () cell size [m]
+
+    # bar capsules (MonkeyBar handholds — reference bullet_objects.MonkeyBar)
+    bar_a: jnp.ndarray | None = None         # (Kb, 3) segment start
+    bar_b: jnp.ndarray | None = None         # (Kb, 3) segment end
+    bar_r: jnp.ndarray | None = None         # (Kb,) capsule radius
+    bar_active: jnp.ndarray | None = None    # (Kb,) 1.0 = solid
 
     friction: jnp.ndarray = struct.field(default_factory=lambda: jnp.asarray(0.8))
 
@@ -82,12 +89,12 @@ def with_stones(
     )
 
 
-def hf_sample(scene: Scene, xy: jnp.ndarray) -> jnp.ndarray:
-    """Bilinear heightfield sample at world ``xy`` (…, 2) → height (…,).
-
-    The on-device analog of Bullet's GEOM_HEIGHTFIELD narrowphase
-    (SURVEY.md §2.3); clamped at borders.
-    """
+def hf_corners(scene: Scene, xy: jnp.ndarray):
+    """Bilinear cell lookup at world ``xy`` (…, 2): the 4 corner heights and
+    the in-cell fractions ``(h00, h10, h01, h11, fu, fv)``; clamped at
+    borders. Shared by sampling and the analytic gradient so the JAX path
+    and the fused Pallas kernel (ops/pallas/engine.py, which evaluates the
+    SAME formulas over an extracted local patch) agree bit-for-bit."""
     H, W = scene.hf_height.shape
     uv = (xy - scene.hf_xy0) / scene.hf_cell
     u = jnp.clip(uv[..., 0], 0.0, H - 1.001)
@@ -100,6 +107,16 @@ def hf_sample(scene: Scene, xy: jnp.ndarray) -> jnp.ndarray:
     h10 = scene.hf_height[i0 + 1, j0]
     h01 = scene.hf_height[i0, j0 + 1]
     h11 = scene.hf_height[i0 + 1, j0 + 1]
+    return h00, h10, h01, h11, fu, fv
+
+
+def hf_sample(scene: Scene, xy: jnp.ndarray) -> jnp.ndarray:
+    """Bilinear heightfield sample at world ``xy`` (…, 2) → height (…,).
+
+    The on-device analog of Bullet's GEOM_HEIGHTFIELD narrowphase
+    (SURVEY.md §2.3); clamped at borders.
+    """
+    h00, h10, h01, h11, fu, fv = hf_corners(scene, xy)
     return (
         h00 * (1 - fu) * (1 - fv)
         + h10 * fu * (1 - fv)
@@ -108,14 +125,44 @@ def hf_sample(scene: Scene, xy: jnp.ndarray) -> jnp.ndarray:
     )
 
 
-def hf_normal(scene: Scene, xy: jnp.ndarray, eps: float = 0.05) -> jnp.ndarray:
-    """Surface normal from central differences of the height function."""
-    ex = jnp.array([eps, 0.0], dtype=xy.dtype)
-    ey = jnp.array([0.0, eps], dtype=xy.dtype)
-    dhdx = (hf_sample(scene, xy + ex) - hf_sample(scene, xy - ex)) / (2 * eps)
-    dhdy = (hf_sample(scene, xy + ey) - hf_sample(scene, xy - ey)) / (2 * eps)
+def hf_normal(scene: Scene, xy: jnp.ndarray) -> jnp.ndarray:
+    """Surface normal: analytic gradient of the bilinear patch.
+
+    Exact in-cell derivative of ``hf_sample`` (NOT a finite difference — a
+    central difference with a fixed eps samples across cell borders and
+    cannot be reproduced cheaply in the fused kernel; the analytic form is
+    both cheaper and shared verbatim with ops/pallas/engine.py).
+    """
+    h00, h10, h01, h11, fu, fv = hf_corners(scene, xy)
+    dhdu = (h10 - h00) * (1 - fv) + (h11 - h01) * fv
+    dhdv = (h01 - h00) * (1 - fu) + (h11 - h10) * fu
+    dhdx = dhdu / scene.hf_cell
+    dhdy = dhdv / scene.hf_cell
     n = jnp.stack([-dhdx, -dhdy, jnp.ones_like(dhdx)], axis=-1)
     return n / jnp.linalg.norm(n, axis=-1, keepdims=True)
+
+
+def sphere_capsule_depth(center, radius, seg_a, seg_b, cap_r):
+    """Sphere vs one capsule segment: (depth, normal, contact_point).
+
+    Closest point on the segment to the sphere center; depth measured to the
+    capsule SURFACE (cap_r offset). Degenerate normals (center on the axis)
+    fall back to +z so the row stays solvable."""
+    ab = seg_b - seg_a
+    t = jnp.clip(
+        jnp.dot(center - seg_a, ab) / jnp.maximum(jnp.dot(ab, ab), 1e-12), 0.0, 1.0
+    )
+    closest = seg_a + t * ab
+    delta = center - closest
+    dist = jnp.linalg.norm(delta)
+    n = jnp.where(
+        dist > 1e-9,
+        delta / jnp.maximum(dist, 1e-9),
+        jnp.array([0.0, 0.0, 1.0], dtype=center.dtype),
+    )
+    depth = radius + cap_r - dist
+    point = closest + n * cap_r
+    return depth, n, point
 
 
 def sphere_box_depth(center, radius, box_pos, box_quat, box_half):

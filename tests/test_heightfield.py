@@ -86,3 +86,32 @@ def test_walker_terrain_env_runs_and_keeps_terrain_across_resets():
     assert done_seen
     assert bool(jnp.all(jnp.isfinite(state.q)))
     np.testing.assert_array_equal(np.asarray(state.scene.hf_height), hf_before)
+
+
+def test_terrain_probes_in_obs():
+    """Obs tail = K heading-frame terrain probes relative to the root's
+    surface height (VERDICT r1 #6: terrain env must PERCEIVE terrain)."""
+    import mocca_envs_tpu
+    from mocca_envs_tpu.tasks.walker_terrain import PROBE_OFFSETS
+
+    env = mocca_envs_tpu.make("Walker3DTerrainEnv")
+    K = PROBE_OFFSETS.shape[0]
+    state = env.init(jax.random.key(4))
+    obs = env.obs_fn(state)
+    assert obs.shape == (env.obs_dim,)
+    # at spawn yaw≈0: probes equal direct hf samples at root + offsets
+    root = np.asarray(state.q[0:2])
+    h_root = float(hf_sample(state.scene, state.q[0:2]))
+    for i in range(K):
+        pt = jnp.asarray(root + PROBE_OFFSETS[i])
+        expect = float(hf_sample(state.scene, pt)) - h_root
+        assert abs(float(obs[-K + i]) - expect) < 1e-5
+    # probes survive a step and stay finite
+    tr = jax.jit(env.step)(state, jnp.zeros(env.act_dim))
+    assert tr.obs.shape == (env.obs_dim,)
+    assert bool(jnp.all(jnp.isfinite(tr.obs)))
+    # mirror maps cover the extended obs and remain involutive
+    perm = np.asarray(env.mirror["obs_perm"])
+    sign = np.asarray(env.mirror["obs_sign"])
+    assert perm.shape[0] == env.obs_dim == sign.shape[0]
+    np.testing.assert_array_equal(perm[perm], np.arange(env.obs_dim))

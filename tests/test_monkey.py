@@ -65,6 +65,83 @@ def test_anchor_stays_near_palm(env):
     assert gap < 0.08, gap
 
 
+def test_bars_are_solid_but_palms_pass(env):
+    """Bars carry real capsule collision (VERDICT r1 #6): a torso overlapping
+    a bar yields a positive contact depth, while the grabbing palm spheres
+    are statically excluded (``sph_no_bar`` — a wrapped hand must not be
+    pushed out of the bar it holds)."""
+    from mocca_envs_tpu.ops.collide import collide
+    from mocca_envs_tpu.ops.kinematics import forward_kinematics
+    from mocca_envs_tpu.terrain.scene import Scene
+
+    model = monkey.make_model()
+    state = env.init(jax.random.key(4))
+    fd = forward_kinematics(model, state.q, state.qd)
+
+    # one bar threaded horizontally straight through the torso center
+    base = state.q[0:3]
+    sc = Scene(
+        has_ground=True, has_bars=True, ground_z=jnp.asarray(-8.0),
+        bar_a=(base + jnp.array([0.0, -0.4, 0.0]))[None],
+        bar_b=(base + jnp.array([0.0, 0.4, 0.0]))[None],
+        bar_r=jnp.array([monkey.BAR_RADIUS]),
+        bar_active=jnp.ones(1),
+    )
+    contacts = collide(model, fd, sc, margin=0.01)
+    depth = np.asarray(contacts.depth)
+    sph_link = np.asarray(model.sph_link)
+    no_bar = np.asarray(model.sph_no_bar)
+    torso = [i for i in range(len(depth)) if sph_link[i] == 0]
+    assert any(depth[i] > 0.05 for i in torso), depth[torso]
+
+    # palms: move the bar onto the right palm — depth must NOT register
+    spec = monkey.constraints()
+    l = spec.grab_links[0]
+    palm = fd.pos[l] + fd.rot[l] @ jnp.asarray(monkey.PALM_OFFSET)
+    sc2 = sc.replace(
+        bar_a=(palm + jnp.array([0.0, -0.4, 0.0]))[None],
+        bar_b=(palm + jnp.array([0.0, 0.4, 0.0]))[None],
+    )
+    c2 = collide(model, forward_kinematics(model, state.q, state.qd), sc2, margin=0.01)
+    d2 = np.asarray(c2.depth)
+    palm_spheres = [i for i in range(len(d2)) if no_bar[i] > 0.5]
+    assert palm_spheres, "palm spheres must be flagged no_bar"
+    for i in palm_spheres:
+        assert d2[i] < 0.0, (i, d2[i])
+
+
+def test_grab_gate_deterministic(env):
+    """Deterministic B8 gate (the stepper-B7 analog): free palm placed on the
+    target bar + grab signal ⇒ attach fires, ``next_bar`` advances, and the
+    bar bonus lands in the reward."""
+    from mocca_envs_tpu.ops.kinematics import forward_kinematics
+
+    model = monkey.make_model()
+    spec = monkey.constraints()
+    state = env.init(jax.random.key(5))
+    # teleport the TARGET bar onto the free (left) palm
+    fd = forward_kinematics(model, state.q, state.qd)
+    l = spec.grab_links[1]
+    palm = fd.pos[l] + fd.rot[l] @ jnp.asarray(monkey.PALM_OFFSET)
+    tgt = int(state.task.next_bar)
+    bar_pos = state.task.bar_pos.at[tgt].set(palm)
+    task = state.task.replace(bar_pos=bar_pos)
+    sc = state.scene.replace(
+        bar_a=bar_pos - monkey.BAR_HALF_LEN * state.task.bar_dir,
+        bar_b=bar_pos + monkey.BAR_HALF_LEN * state.task.bar_dir,
+    )
+    state = state.replace(task=task, scene=sc)
+
+    grab_left = jnp.concatenate(
+        [jnp.zeros(env.act_dim - 2), jnp.array([0.0, 1.0])]
+    )
+    tr = jax.jit(env.step_no_reset)(state, grab_left)
+    assert float(tr.state.task.attached[1]) == 1.0
+    assert int(tr.state.task.next_bar) == tgt + 1
+    assert float(tr.metrics["bar_hit"]) == 1.0
+    assert float(tr.reward) > 3.0  # bar_bonus=6 dominates the step reward
+
+
 def test_obs_dim_and_finite(env):
     state = env.init(jax.random.key(3))
     obs = env.obs_fn(state)

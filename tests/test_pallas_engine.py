@@ -111,6 +111,153 @@ def test_pallas_constraints_match_jax_substep():
 
 
 @pytest.mark.slow
+def test_pallas_heightfield_matches_jax_substep():
+    """Heightfield narrowphase (one-hot patch sampling) vs the JAX oracle.
+
+    Grid == patch (16×16) so the kernel's local view is the whole field;
+    the plane is kept at z=−5 so the plane∪hf merge path is exercised.
+    """
+    from mocca_envs_tpu.ops.pallas.engine import HF_PATCH
+
+    model = hopper()
+    B = TILE
+    P = HF_PATCH
+    key = jax.random.key(7)
+    q, qd = _random_states(model, B, key)
+    # stand each hopper mid-grid; cell 0.3 → grid spans 4.5 m, robot at center
+    q = q.at[:, 0:2].add(2.25)
+    tau = 0.3 * jax.random.normal(jax.random.key(8), (B, model.nj))
+    gz = jnp.full((B,), -5.0)
+    fric = jnp.full((B,), 0.8)
+    cell = jnp.full((B,), 0.3)
+    x0 = jnp.zeros(B)
+    y0 = jnp.zeros(B)
+    # smooth-ish per-env terrain: random lumps, ±0.15 m
+    raw = 0.15 * jax.random.normal(jax.random.key(11), (B, P, P))
+    hf = (raw + jnp.roll(raw, 1, 1) + jnp.roll(raw, 1, 2) + jnp.roll(raw, (1, 1), (1, 2))) / 4.0
+
+    pal = make_pallas_substep(model, CFG, interpret=True, hf_patch=P)
+    q_p, qd_p, depth_p, nimp_p = pal(q, qd, tau, gz, fric, hf, x0, y0, cell)
+
+    sub = make_substep(model, CFG)
+
+    def jax_path(q1, qd1, t1, hf1, x01, y01, c1):
+        sc = scene_mod.Scene(
+            has_ground=True, has_hf=True, ground_z=jnp.asarray(-5.0),
+            hf_height=hf1, hf_xy0=jnp.stack([x01, y01]), hf_cell=c1,
+            friction=jnp.asarray(0.8),
+        )
+        qq, dd = q1, qd1
+        for _ in range(CFG.sim_substeps):
+            qq, dd, info = sub(qq, dd, t1, sc)
+        return qq, dd, info.contacts.depth, info.normal_impulse
+
+    q_j, qd_j, depth_j, nimp_j = jax.vmap(jax_path)(q, qd, tau, hf, x0, y0, cell)
+
+    np.testing.assert_allclose(np.asarray(q_p), np.asarray(q_j), atol=2e-4)
+    np.testing.assert_allclose(np.asarray(qd_p), np.asarray(qd_j), atol=1e-2)
+    np.testing.assert_allclose(np.asarray(depth_p), np.asarray(depth_j), atol=5e-4)
+    np.testing.assert_allclose(np.asarray(nimp_p), np.asarray(nimp_j), atol=1e-2)
+
+
+def test_hf_patch_extraction_equivalent():
+    """Oracle over the FULL grid ≡ oracle over the extracted local patch
+    (the approximation the fused path rides — exact while all spheres stay
+    inside the patch)."""
+    from mocca_envs_tpu.ops import step as step_mod
+    from mocca_envs_tpu.ops.pallas.engine import HF_PATCH
+
+    model = hopper()
+    H = 33
+    key = jax.random.key(2)
+    hf = 0.2 * jax.random.normal(key, (H, H))
+    hf = (hf + jnp.roll(hf, 1, 0) + jnp.roll(hf, 1, 1)) / 3.0
+    cell = jnp.asarray(0.3)
+    xy0 = jnp.asarray([-4.8, -4.8])
+    full = scene_mod.Scene(
+        has_ground=False, has_hf=True, hf_height=hf, hf_xy0=xy0,
+        hf_cell=cell, friction=jnp.asarray(0.8),
+    )
+    q = jnp.concatenate(
+        [jnp.array([0.7, -0.4, 0.6]), jnp.array([1.0, 0, 0, 0]), jnp.zeros(model.nj)]
+    )
+    qd = 0.3 * jax.random.normal(jax.random.key(5), (model.nv,))
+    tau = jnp.zeros(model.nj)
+    sub = make_substep(model, CFG)
+
+    # hand-build the patch scene exactly as ops/step.pallas_unit does
+    P = HF_PATCH
+    uv = (q[0:2] - xy0) / cell
+    si = jnp.clip(jnp.floor(uv[0]).astype(jnp.int32) - P // 2, 0, H - P)
+    sj = jnp.clip(jnp.floor(uv[1]).astype(jnp.int32) - P // 2, 0, H - P)
+    patch = jax.lax.dynamic_slice(hf, (si, sj), (P, P))
+    psc = scene_mod.Scene(
+        has_ground=False, has_hf=True, hf_height=patch,
+        hf_xy0=xy0 + jnp.stack([si, sj]).astype(hf.dtype) * cell,
+        hf_cell=cell, friction=jnp.asarray(0.8),
+    )
+    qf, qdf = q, qd
+    qp, qdp = q, qd
+    for _ in range(4):
+        qf, qdf, _ = sub(qf, qdf, tau, full)
+        qp, qdp, _ = sub(qp, qdp, tau, psc)
+    np.testing.assert_allclose(np.asarray(qf), np.asarray(qp), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(qdf), np.asarray(qdp), atol=1e-5)
+
+
+@pytest.mark.slow
+def test_pallas_bars_matches_jax_substep():
+    """Bar-capsule narrowphase (MonkeyBar handholds, B8) vs the JAX oracle."""
+    model = hopper()
+    B = TILE
+    KB = 3
+    key = jax.random.key(21)
+    q, qd = _random_states(model, B, key)
+    tau = 0.3 * jax.random.normal(jax.random.key(22), (B, model.nj))
+    gz = jnp.full((B,), -5.0)
+    fric = jnp.full((B,), 0.8)
+    # bars straddling the hopper at body height, random horizontal axes
+    kp = jax.random.split(key, 3)
+    ctr = jnp.stack(
+        [
+            jnp.tile(jnp.array([0.0, 0.0, 0.35]), (B, 1)),
+            jnp.tile(jnp.array([0.3, 0.2, 0.15]), (B, 1)),
+            jnp.tile(jnp.array([-0.4, -0.1, 0.55]), (B, 1)),
+        ],
+        axis=1,
+    ) + 0.05 * jax.random.normal(kp[0], (B, KB, 3))
+    ang = jax.random.uniform(kp[1], (B, KB), minval=0.0, maxval=jnp.pi)
+    axis = jnp.stack([jnp.cos(ang), jnp.sin(ang), jnp.zeros_like(ang)], axis=2)
+    ba = ctr - 0.4 * axis
+    bb = ctr + 0.4 * axis
+    br = jnp.full((B, KB), 0.05)
+    bact = jnp.ones((B, KB))
+
+    pal = make_pallas_substep(model, CFG, interpret=True, num_bars=KB)
+    q_p, qd_p, depth_p, nimp_p = pal(q, qd, tau, gz, fric, ba, bb, br, bact)
+
+    sub = make_substep(model, CFG)
+
+    def jax_path(q1, qd1, t1, a1, b1, r1, act1):
+        sc = scene_mod.Scene(
+            has_ground=True, has_bars=True, ground_z=jnp.asarray(-5.0),
+            bar_a=a1, bar_b=b1, bar_r=r1, bar_active=act1,
+            friction=jnp.asarray(0.8),
+        )
+        qq, dd = q1, qd1
+        for _ in range(CFG.sim_substeps):
+            qq, dd, info = sub(qq, dd, t1, sc)
+        return qq, dd, info.contacts.depth, info.normal_impulse
+
+    q_j, qd_j, depth_j, nimp_j = jax.vmap(jax_path)(q, qd, tau, ba, bb, br, bact)
+
+    np.testing.assert_allclose(np.asarray(q_p), np.asarray(q_j), atol=2e-4)
+    np.testing.assert_allclose(np.asarray(qd_p), np.asarray(qd_j), atol=1e-2)
+    np.testing.assert_allclose(np.asarray(depth_p), np.asarray(depth_j), atol=5e-4)
+    np.testing.assert_allclose(np.asarray(nimp_p), np.asarray(nimp_j), atol=1e-2)
+
+
+@pytest.mark.slow
 def test_pallas_stones_matches_jax_substep():
     """Stone-box narrowphase + generic friction frames vs the JAX oracle."""
     model = hopper()

@@ -56,6 +56,10 @@ class PPOConfig:
     # learner-side reward scaling (env rewards untouched; the reference
     # ecosystem's trainers scaled rewards similarly)
     reward_scale: float = 1.0
+    # ALLSTEPS mirror-symmetry loss (paper §4 / SURVEY.md §3.5): penalize
+    # ||π(M_obs(s)) − M_act(π(s))||² so gaits stay left/right symmetric.
+    # Consumes the env's mirror_spec; 0 disables (and costs nothing).
+    mirror_coef: float = 0.0
 
 
 class RunningNorm(struct.PyTreeNode):
@@ -166,16 +170,31 @@ class PPOLearner:
         mesh: Mesh | None = None,
         num_envs: int = 1024,
     ):
+        # ``env`` may be a single FnEnv or a rollout PROVIDER (harness.mixed.
+        # MixedSuite): anything with obs_dim/act_dim + init_states/make_rollout.
+        # The learner math below is identical either way.
+        self._provider = hasattr(env, "init_states") and hasattr(env, "make_rollout")
+        if self._provider:
+            num_envs = env.num_envs
         if num_envs % (config.num_minibatches) != 0:
             raise ValueError("num_envs must divide into minibatches")
         if mesh is not None and num_envs % (mesh.size * config.num_minibatches) != 0:
             raise ValueError(
                 "num_envs must divide over devices × minibatches"
             )
+        if self._provider and mesh is not None:
+            for c in env.counts:
+                if c % mesh.size != 0:
+                    raise ValueError(
+                        f"family count {c} must divide over {mesh.size} devices"
+                    )
         self.env = env
         self.config = config
         self.mesh = mesh
         self.num_envs = num_envs
+        self.mirror = getattr(env, "mirror", None)
+        if config.mirror_coef > 0.0 and self.mirror is None:
+            raise ValueError(f"{env.name} has no mirror spec for mirror_coef")
         self.net = ActorCritic(env.act_dim, config.hidden)
         self.tx = optax.chain(
             optax.clip_by_global_norm(config.max_grad_norm),
@@ -190,13 +209,16 @@ class PPOLearner:
         obs0 = jnp.zeros((1, self.env.obs_dim))
         params = self.net.init(kp, obs0)
         opt_state = self.tx.init(params)
-        keys = rng_mod.env_keys(rng_mod.root_key(seed), self.num_envs)
-        if self.mesh is not None:
-            sh = env_sharding(self.mesh)
-            env_state = jax.jit(jax.vmap(self.env.init), out_shardings=sh)(keys)
+        if self._provider:
+            env_state, obs = self.env.init_states(seed, self.mesh)
         else:
-            env_state = jax.jit(jax.vmap(self.env.init))(keys)
-        obs = jax.jit(jax.vmap(self.env.obs_fn))(env_state)
+            keys = rng_mod.env_keys(rng_mod.root_key(seed), self.num_envs)
+            if self.mesh is not None:
+                sh = env_sharding(self.mesh)
+                env_state = jax.jit(jax.vmap(self.env.init), out_shardings=sh)(keys)
+            else:
+                env_state = jax.jit(jax.vmap(self.env.init))(keys)
+            obs = jax.jit(jax.vmap(self.env.obs_fn))(env_state)
         return TrainState(
             params=params,
             opt_state=opt_state,
@@ -225,7 +247,10 @@ class PPOLearner:
             action, log_prob = _gaussian_sample(mean, log_std, key)
             return action, log_prob, value
 
-        rollout = make_batched_rollout(env, cfg.horizon, policy)
+        if self._provider:
+            rollout = env.make_rollout(cfg.horizon, policy)
+        else:
+            rollout = make_batched_rollout(env, cfg.horizon, policy)
 
         def pmean(x):
             if self.mesh is None:
@@ -248,6 +273,17 @@ class PPOLearner:
             )
             entropy = jnp.sum(log_std + 0.5 * jnp.log(2 * jnp.pi * jnp.e))
             loss = pg_loss + cfg.vf_coef * v_loss - cfg.ent_coef * entropy
+            if cfg.mirror_coef > 0.0:
+                m = self.mirror
+                # π(M_obs(s)) vs M_act(π(s)). The running obs-normalizer is
+                # applied to mirrored obs with UNmirrored stats — the stats
+                # symmetrize as the gait does, and the loss needs only
+                # consistency, not exactness.
+                m_obs = obs[:, m["obs_perm"]] * m["obs_sign"]
+                m_mean, _, _ = net.apply(params, _maybe_norm(norm, m_obs))
+                tgt_mean = mean[:, m["act_perm"]] * m["act_sign"]
+                msl = jnp.mean(jnp.square(m_mean - tgt_mean))
+                loss = loss + cfg.mirror_coef * msl
             return loss, (pg_loss, v_loss, entropy)
 
         def update_shard(params, opt_state, norm, env_state, obs, key, shard_key):

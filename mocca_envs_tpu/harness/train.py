@@ -21,7 +21,12 @@ import time
 
 def parse_args(argv=None):
     p = argparse.ArgumentParser(description=__doc__)
-    p.add_argument("--env", default="Walker3DCustomEnv")
+    p.add_argument(
+        "--env", default="Walker3DCustomEnv",
+        help="env ID, or comma-separated IDs for the mixed multi-family "
+        "suite (BASELINE config 5), e.g. "
+        "'Walker3DCustomEnv,CassieEnv,Monkey3DStepperEnv'",
+    )
     p.add_argument("--num-envs", type=int, default=1024)
     p.add_argument("--updates", type=int, default=100)
     p.add_argument("--horizon", type=int, default=128)
@@ -39,12 +44,38 @@ def parse_args(argv=None):
         help="advance stepper curriculum when mean steps_reached exceeds this",
     )
     p.add_argument("--no-mesh", action="store_true")
+    # ALLSTEPS transfer: warm-start from a checkpoint trained on another
+    # family (e.g. pretrain Walker3DCustomEnv → stepper curriculum)
+    p.add_argument("--init-from", default=None,
+                   help="checkpoint dir of a pretrained run to embed")
+    p.add_argument("--init-env", default=None,
+                   help="env ID the --init-from checkpoint was trained on")
+    p.add_argument("--mirror-coef", type=float, default=0.0,
+                   help="ALLSTEPS mirror-symmetry loss weight (0 = off)")
+    # multi-host (BASELINE config 5: N≥2 hosts feed one PPO learner).
+    # With no flags and a TPU-pod environment, jax.distributed autodetects.
+    p.add_argument("--multihost", action="store_true",
+                   help="initialize jax.distributed before building the mesh")
+    p.add_argument("--coordinator", default=None,
+                   help="host:port of process 0 (omit on TPU pods)")
+    p.add_argument("--num-processes", type=int, default=None)
+    p.add_argument("--process-id", type=int, default=None)
     return p.parse_args(argv)
 
 
 def main(argv=None):
     args = parse_args(argv)
     logging.basicConfig(level=logging.INFO, format="%(asctime)s %(message)s")
+
+    if args.multihost:
+        # must run before any other jax API touches the backend
+        from mocca_envs_tpu.parallel import multihost
+
+        multihost.initialize(
+            coordinator_address=args.coordinator,
+            num_processes=args.num_processes,
+            process_id=args.process_id,
+        )
 
     import jax
 
@@ -54,20 +85,51 @@ def main(argv=None):
     from mocca_envs_tpu.harness.ppo import PPOConfig, PPOLearner
     from mocca_envs_tpu.parallel.mesh import env_mesh
 
-    env = mocca_envs_tpu.make(args.env)
+    if "," in args.env:
+        from mocca_envs_tpu.harness.mixed import MixedSuite
+
+        ids = tuple(s.strip() for s in args.env.split(","))
+        per = args.num_envs // len(ids)
+        env = MixedSuite(ids, (per,) * len(ids))
+        args.num_envs = env.num_envs
+    else:
+        env = mocca_envs_tpu.make(args.env)
     mesh = None
     if not args.no_mesh and len(jax.devices()) > 1:
         mesh = env_mesh()
-        logging.info("mesh over %d devices", mesh.size)
+        logging.info("mesh over %d devices (%d processes)",
+                     mesh.size, jax.process_count())
 
     cfg = PPOConfig(
         horizon=args.horizon,
         num_epochs=args.epochs,
         num_minibatches=args.minibatches,
         lr=args.lr,
+        mirror_coef=args.mirror_coef,
     )
     learner = PPOLearner(env, cfg, mesh=mesh, num_envs=args.num_envs)
     state = learner.init(seed=args.seed)
+
+    if args.init_from:
+        # ALLSTEPS pretrain→transfer: restore the source family's state and
+        # prefix-embed its policy + obs stats into this learner's
+        from mocca_envs_tpu.harness.transfer import transfer_train_state
+
+        import dataclasses as _dc
+
+        src_env = mocca_envs_tpu.make(args.init_env or args.env)
+        src_learner = PPOLearner(
+            src_env, _dc.replace(cfg, mirror_coef=0.0),
+            mesh=mesh, num_envs=args.num_envs,
+        )
+        src_state = CheckpointManager(args.init_from).restore(
+            src_learner.init(seed=args.seed)
+        )
+        state = transfer_train_state(src_state, state)
+        logging.info(
+            "transferred pretrained policy from %s (%s)",
+            args.init_from, src_env.name,
+        )
 
     ckpt = CheckpointManager(args.ckpt_dir) if args.ckpt_dir else None
     start_update = 0

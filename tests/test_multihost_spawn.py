@@ -61,6 +61,104 @@ _WORKER = textwrap.dedent(
 )
 
 
+_MIXED_WORKER = textwrap.dedent(
+    """
+    import os, sys
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=2"
+    sys.path.insert(0, "__REPO__")
+
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_num_cpu_devices", 2)
+    jax.config.update("jax_compilation_cache_dir",
+                      os.path.join("__REPO__", ".jax_cache"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+
+    from mocca_envs_tpu.parallel import multihost
+
+    multihost.initialize(
+        coordinator_address="__COORD__", num_processes=2, process_id=__PID__,
+    )
+    assert jax.process_count() == 2
+
+    import numpy as np
+    from jax.sharding import Mesh
+
+    from mocca_envs_tpu.harness.mixed import MixedSuite
+    from mocca_envs_tpu.harness.ppo import PPOConfig, PPOLearner
+
+    # BASELINE config 5: mixed Walker3D+Cassie+Monkey suite, global batch
+    # sharded over all 4 devices of the 2-process cluster, ONE learner.
+    mesh = Mesh(np.array(jax.devices()), ("env",))
+    suite = MixedSuite(MixedSuite.DEFAULT, (4, 4, 4))
+    cfg = PPOConfig(horizon=2, num_epochs=1, num_minibatches=1, hidden=(16, 16))
+    learner = PPOLearner(suite, cfg, mesh=mesh)
+    state = learner.init(seed=0)
+    for _ in range(2):
+        state, metrics = learner.train_step(state)
+    jax.block_until_ready(state.params)
+
+    # replicated learner params must be bit-identical across hosts
+    assert multihost.check_replica_divergence(state.params)
+    fp = multihost.fingerprint(jax.device_get(state.params))
+    print(f"proc {jax.process_index()} params_fp {fp[0]:.17g} {fp[1]:.17g}",
+          flush=True)
+    print("MIXED_OK", flush=True)
+    """
+)
+
+
+def _spawn_two(script_template, repo, coord, env):
+    procs = []
+    for pid in range(2):
+        script = (script_template.replace("__REPO__", repo)
+                  .replace("__COORD__", coord)
+                  .replace("__PID__", str(pid)))
+        procs.append(
+            subprocess.Popen(
+                [sys.executable, "-c", script],
+                stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+                text=True, env=env,
+            )
+        )
+    return procs
+
+
+@pytest.mark.slow
+def test_two_process_mixed_suite_trains_one_learner():
+    """Config 5 end-to-end: 2-process cluster trains 2 PPO updates of the
+    mixed multi-family suite; learner params identical on both hosts."""
+    repo = os.path.abspath(os.path.join(os.path.dirname(__file__), ".."))
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        port = s.getsockname()[1]
+    coord = f"127.0.0.1:{port}"
+    env = dict(os.environ)
+    env.pop("PALLAS_AXON_POOL_IPS", None)
+    env["JAX_PLATFORMS"] = "cpu"
+    procs = _spawn_two(_MIXED_WORKER, repo, coord, env)
+    outs = []
+    try:
+        for p in procs:
+            out, _ = p.communicate(timeout=1500)
+            outs.append(out)
+    except subprocess.TimeoutExpired:
+        for p in procs:
+            p.kill()
+        pytest.fail("mixed-suite workers timed out:\n" + "\n---\n".join(outs))
+
+    for i, (p, out) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, f"worker {i} failed:\n{out}"
+        assert "MIXED_OK" in out, f"worker {i} incomplete:\n{out}"
+
+    import re
+
+    fps = [re.search(r"params_fp (\S+ \S+)", o).group(1) for o in outs]
+    assert fps[0] == fps[1], fps
+
+
 @pytest.mark.slow
 def test_two_process_cluster_steps_sharded_envs(tmp_path):
     repo = os.path.abspath(os.path.join(os.path.dirname(__file__), ".."))

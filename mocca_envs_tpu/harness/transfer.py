@@ -1,0 +1,48 @@
+"""Policy transfer across env families (ALLSTEPS pretrain → stepper).
+
+ALLSTEPS (SURVEY.md §3.5; paper §4) trains the stepping-stone skill by
+CURRICULUM on top of a walking policy, not from scratch. The obs layouts
+here make that a structural embed: the walker obs
+``[body, q, q̇, feet]`` is an exact PREFIX of the stepper obs
+``[body, q, q̇, feet, targets(6)]`` and act layouts are identical, so the
+pretrained first-layer weights drop into the top rows of the stepper's
+first Dense kernel (the new target dims keep their fresh init and are
+learned during curriculum), and every other leaf copies verbatim. The
+running obs-normalizer embeds the same way.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def embed_pytree(src, dst):
+    """Copy ``src`` into ``dst`` leaf-wise; where a leaf grew (same rank,
+    every src dim ≤ dst dim), place src in the leading block and keep dst's
+    values (fresh init / stats) for the remainder."""
+
+    def leaf(s, d):
+        s = jnp.asarray(s)
+        d = jnp.asarray(d)
+        if s.shape == d.shape:
+            return s.astype(d.dtype)
+        if s.ndim == d.ndim and all(a <= b for a, b in zip(s.shape, d.shape)):
+            return d.at[tuple(slice(0, n) for n in s.shape)].set(
+                s.astype(d.dtype)
+            )
+        raise ValueError(f"cannot embed leaf {s.shape} into {d.shape}")
+
+    return jax.tree.map(leaf, src, dst)
+
+
+def transfer_train_state(src_state, dst_state):
+    """Embed a pretrained TrainState into a freshly-initialized one.
+
+    Params and the obs-normalizer transfer (prefix-embedded); the optimizer
+    state, env states and keys stay fresh — curriculum starts clean.
+    """
+    return dst_state.replace(
+        params=embed_pytree(src_state.params, dst_state.params),
+        obs_norm=embed_pytree(src_state.obs_norm, dst_state.obs_norm),
+    )

@@ -48,6 +48,12 @@ class MonkeyParams(struct.PyTreeNode):
     bar_bonus: jnp.ndarray = struct.field(default_factory=lambda: jnp.asarray(6.0))
     success_bonus: jnp.ndarray = struct.field(default_factory=lambda: jnp.asarray(20.0))
     fall_z: jnp.ndarray = struct.field(default_factory=lambda: jnp.asarray(-1.8))
+    # per-env adaptive curriculum (ALLSTEPS-style, as in walker_stepper):
+    # reach ≥ adv_threshold bars in an episode → that env's stage advances
+    # at auto-reset. ≥ num_bars disables.
+    adv_threshold: jnp.ndarray = struct.field(
+        default_factory=lambda: jnp.asarray(14.0)
+    )
     max_steps: jnp.ndarray = struct.field(
         default_factory=lambda: jnp.asarray(1000, jnp.int32)
     )
@@ -189,7 +195,13 @@ def make_monkey3d_stepper(
     def reset(key: jax.Array, reset_count, prev: EnvState | None = None) -> EnvState:
         ek = rng_mod.reset_key(key, reset_count)
         kj, kb = jax.random.split(ek)
-        stage = params.stage if prev is None else prev.task.stage
+        if prev is None:
+            stage = params.stage
+        else:
+            adv = (
+                prev.task.next_bar.astype(jnp.float32) >= params.adv_threshold
+            ).astype(jnp.float32)
+            stage = jnp.minimum(prev.task.stage + adv, params.max_stage)
         bar_pos, bar_dir = _sample_bars(params.replace(stage=stage), kb)
         noise = params.init_noise * jax.random.uniform(
             kj, (model.nj,), minval=-1.0, maxval=1.0

@@ -45,16 +45,23 @@ class StepperParams(struct.PyTreeNode):
     step_radius: jnp.ndarray       # xy radius counting a stone as hit
     step_bonus: jnp.ndarray        # reward per stone hit
     success_bonus: jnp.ndarray     # completing the chain
+    # PER-ENV adaptive curriculum (ALLSTEPS §4 / SURVEY.md §3.5): an env that
+    # ends an episode having reached ≥ adv_threshold stones advances ITS OWN
+    # stage at the in-graph auto-reset — no trainer round-trip, no recompile,
+    # envs progress independently. Set ≥ num_steps to disable.
+    adv_threshold: jnp.ndarray
 
     @classmethod
     def default(cls) -> "StepperParams":
         f = lambda v: jnp.asarray(v, dtype=jnp.float32)
+        stones = StoneParams()
         return cls(
             walker=WalkerParams.default(),
-            stones=StoneParams(),
+            stones=stones,
             step_radius=f(0.3),
             step_bonus=f(6.0),
             success_bonus=f(20.0),
+            adv_threshold=f(stones.num_steps - 2),
         )
 
     def set_curriculum(self, stage) -> "StepperParams":
@@ -145,8 +152,16 @@ def make_walker3d_stepper(
         )
         qj = jnp.clip(noise, model.limit_lo, model.limit_hi)
         start_top = jnp.array([0.0, 0.0, 0.0])
-        # curriculum stage is per-env dynamic data carried across episodes
-        stage = params.stones.stage if prev is None else prev.task.stage
+        # curriculum stage is per-env dynamic data carried across episodes;
+        # a finished episode that reached ≥ adv_threshold stones advances
+        # this env's stage (ALLSTEPS per-env adaptive curriculum)
+        if prev is None:
+            stage = params.stones.stage
+        else:
+            adv = (
+                prev.task.next_step.astype(jnp.float32) >= params.adv_threshold
+            ).astype(jnp.float32)
+            stage = jnp.minimum(prev.task.stage + adv, params.stones.max_stage)
         stone_top, stone_quat = sample_stones(
             params.stones.replace(stage=stage), ks, start_top
         )

@@ -22,15 +22,23 @@ register(
     "Cassie2DEnv",
     functools.partial(make_cassie, name="Cassie2DEnv", planar=True),
 )
+def _make_cassie_phase(planar: bool = False, **kw):
+    # phase variants TRACK a reference motion (the reference's mocap
+    # behavior — env_cassie.py CassiePhase*); the default table is the
+    # synthesized parametric walk, swappable for real mocap via
+    # models/cassie_gait.from_npz when assets exist
+    from mocca_envs_tpu.models.cassie_gait import synthesized_walk
+
+    name = "CassiePhase2DEnv" if planar else "CassiePhaseEnv"
+    return make_cassie(
+        name=name, planar=planar, phase_obs=True,
+        ref_gait=synthesized_walk(), **kw,
+    )
+
+
+register("CassiePhaseEnv", _make_cassie_phase)
 register(
-    "CassiePhaseEnv",
-    functools.partial(make_cassie, name="CassiePhaseEnv", phase_obs=True),
-)
-register(
-    "CassiePhase2DEnv",
-    functools.partial(
-        make_cassie, name="CassiePhase2DEnv", planar=True, phase_obs=True
-    ),
+    "CassiePhase2DEnv", functools.partial(_make_cassie_phase, planar=True)
 )
 
 from mocca_envs_tpu.tasks.monkey_stepper import make_monkey3d_stepper  # noqa: E402

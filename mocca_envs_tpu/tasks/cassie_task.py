@@ -57,7 +57,8 @@ class CassieParams(struct.PyTreeNode):
     max_steps: jnp.ndarray
     # phase-variant fields (CassiePhase*, [K-med])
     phase_period: jnp.ndarray       # control steps per gait cycle
-    w_phase: jnp.ndarray            # weight of the periodic gait cost
+    w_phase: jnp.ndarray            # weight of the contact-clock reward
+    w_imitation: jnp.ndarray        # weight of the reference-motion tracking
 
     @classmethod
     def default(cls) -> "CassieParams":
@@ -75,6 +76,7 @@ class CassieParams(struct.PyTreeNode):
             max_steps=jnp.asarray(1000, jnp.int32),
             phase_period=f(40.0),
             w_phase=f(0.5),
+            w_imitation=f(1.0),
         )
 
 
@@ -89,7 +91,13 @@ def make_cassie(
     name: str = "CassieEnv",
     planar: bool = False,
     phase_obs: bool = False,
+    ref_gait=None,
 ):
+    """``ref_gait`` (models/cassie_gait.GaitTable) turns a phase variant into
+    a reference-motion TRACKING env (the reference's CassiePhase* mocap
+    behavior): the phase indexes the gait table; reward adds motor-space
+    tracking of the table row (deviations from stand) and the contact clock
+    follows the table's stance pattern instead of a bare sinusoid."""
     model = cassie.make_model()
     initial_z = cassie.initial_z()
     config = config or CASSIE_CONFIG
@@ -193,8 +201,21 @@ def make_cassie(
         reward = speed_reward + alive - orient_cost - rate_cost - torque_proxy
 
         phase = jnp.mod(state.task.phase + 1.0, params.phase_period)
-        if phase_obs:
-            # periodic gait shaping (phase variants): alternate-foot contact
+        if ref_gait is not None:
+            # reference-motion tracking (CassiePhase* mocap behavior):
+            # phase indexes the gait table; track its motor-space row and
+            # its stance pattern
+            q_ref_dev, stance_ref = ref_gait.at_phase(state.task.phase)
+            q_ref = stand[motor_idx] + q_ref_dev
+            track_err = jnp.mean(jnp.square(q[7:][motor_idx] - q_ref))
+            reward = reward + params.w_imitation * jnp.exp(-8.0 * track_err)
+            fc = info.foot_contact[:2]
+            clock_match = jnp.mean(
+                jnp.where(stance_ref > 0.5, fc, 1.0 - fc)
+            )
+            reward = reward + params.w_phase * clock_match
+        elif phase_obs:
+            # clock-only shaping (no reference table): alternate-foot contact
             ph = 2 * jnp.pi * state.task.phase / params.phase_period
             want_right = jnp.sin(ph) > 0
             fc = info.foot_contact
@@ -214,6 +235,9 @@ def make_cassie(
             "fallen": fallen.astype(q.dtype),
             "pelvis_height": q[2],
         }
+        if ref_gait is not None:
+            metrics["track_err"] = track_err
+            metrics["clock_match"] = clock_match
         return Transition(
             state=new_state, obs=obs, reward=reward, done=done, metrics=metrics
         )

@@ -98,3 +98,60 @@ def test_phase_env_obs_has_clock():
     tr = jax.jit(envp.step)(state, jnp.zeros(envp.act_dim))
     sin_cos = tr.obs[-2:]
     assert abs(float(jnp.linalg.norm(sin_cos)) - 1.0) < 1e-5
+
+
+def test_gait_table_interpolation_and_stance():
+    """GaitTable.at_phase: row interpolation is exact at row phases, stance
+    alternates legs half a cycle apart (reference-motion machinery for the
+    CassiePhase* mocap behavior)."""
+    from mocca_envs_tpu.models.cassie_gait import synthesized_walk
+
+    g = synthesized_walk(period_steps=40.0, rows=64)
+    # at phase of an exact row: interpolation returns that row
+    row = 16
+    phase = jnp.asarray(40.0 * row / 64)
+    q_ref, st = g.at_phase(phase)
+    np.testing.assert_allclose(
+        np.asarray(q_ref), np.asarray(g.q_motors[row]), atol=1e-5
+    )
+    # alternating stance: legs out of phase by half a cycle
+    q0, st0 = g.at_phase(jnp.asarray(0.0))
+    q2, st2 = g.at_phase(jnp.asarray(20.0))
+    np.testing.assert_allclose(np.asarray(st0), np.asarray(st2)[::-1], atol=1e-5)
+    # midpoint interpolates between rows
+    qm, _ = g.at_phase(jnp.asarray(40.0 * (row + 0.5) / 64))
+    np.testing.assert_allclose(
+        np.asarray(qm),
+        0.5 * np.asarray(g.q_motors[row] + g.q_motors[row + 1]),
+        atol=1e-5,
+    )
+
+
+def test_phase_env_tracks_reference_motion():
+    """CassiePhaseEnv rewards poses matching the gait table: posing the
+    motors ON the reference row outscores posing them off it."""
+    from mocca_envs_tpu.models import cassie
+    from mocca_envs_tpu.models.cassie_gait import synthesized_walk
+
+    envp = mocca_envs_tpu.make("CassiePhaseEnv")
+    model = cassie.make_model()
+    g = synthesized_walk()
+    stand = jnp.asarray(cassie.stand_q(model))
+    motor_idx = np.nonzero(np.asarray(model.actuated) > 0.5)[0]
+
+    state = envp.init(jax.random.key(5))
+    phase = state.task.phase  # the step reward indexes the PRE-step phase
+    q_ref_dev, _ = g.at_phase(phase)
+
+    def posed(dev):
+        qj = stand.at[jnp.asarray(motor_idx)].add(dev)
+        q = state.q.at[7:].set(qj)
+        return state.replace(q=q)
+
+    act = jnp.zeros(envp.act_dim)
+    step = jax.jit(envp.step_no_reset)
+    r_on = float(step(posed(q_ref_dev), act).reward)
+    r_off = float(step(posed(q_ref_dev + 0.6), act).reward)
+    assert r_on > r_off, (r_on, r_off)
+    tr = step(posed(q_ref_dev), act)
+    assert float(tr.metrics["track_err"]) < 0.05

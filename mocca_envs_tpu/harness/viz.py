@@ -27,23 +27,57 @@ def link_poses(model: RobotModel, q: np.ndarray, qd: np.ndarray | None = None):
     return np.asarray(fd.pos), np.asarray(fd.rot)
 
 
+def scene_to_desc(scene) -> dict:
+    """Serialize a terrain/scene.Scene for the replay doc (static geometry:
+    ground plane, stone boxes, bar capsules, heightfield grid)."""
+    desc: dict = {}
+    if scene.has_ground:
+        desc["ground_z"] = float(scene.ground_z)
+    if scene.has_stones:
+        desc["stones"] = {
+            "pos": np.round(np.asarray(scene.stone_pos), 4).tolist(),
+            "quat": np.round(np.asarray(scene.stone_quat), 4).tolist(),
+            "half": np.round(np.asarray(scene.stone_half), 4).tolist(),
+            "active": np.asarray(scene.stone_active).tolist(),
+        }
+    if scene.has_bars:
+        desc["bars"] = {
+            "a": np.round(np.asarray(scene.bar_a), 4).tolist(),
+            "b": np.round(np.asarray(scene.bar_b), 4).tolist(),
+            "r": np.round(np.asarray(scene.bar_r), 4).tolist(),
+        }
+    if scene.has_hf:
+        desc["heightfield"] = {
+            "xy0": np.asarray(scene.hf_xy0).tolist(),
+            "cell": float(scene.hf_cell),
+            "height": np.round(np.asarray(scene.hf_height), 3).tolist(),
+        }
+    return desc
+
+
 def dump_trajectory(
     model: RobotModel,
     qs: np.ndarray,                  # (T, nq)
     path: str,
     every: int = 1,
     scene_desc: dict | None = None,
+    markers: np.ndarray | None = None,       # (T, M, 3) live marker positions
+    marker_desc: list[dict] | None = None,   # M dicts: {name, radius, color}
 ) -> None:
     """Write a JSON replay: per frame, per link, [x, y, z] positions.
 
-    Kept minimal on purpose: spheres radii + link names let a ~50-line
-    three.js page replay an episode.
+    ``markers`` are the VSphere analog (reference ``bullet_objects.VSphere``
+    debug spheres: walk targets, the current stone/bar, grab anchors) — a
+    per-frame array of M points drawn alongside the robot; ``marker_desc``
+    names and styles them. Kept minimal on purpose: spheres radii + link
+    names let a ~50-line three.js page replay an episode.
     """
     frames = []
     fk = jax.jit(
         lambda q: forward_kinematics(model, q, jnp.zeros(model.nv)).pos
     )
-    for t in range(0, qs.shape[0], every):
+    sel = list(range(0, qs.shape[0], every))
+    for t in sel:
         pos = np.asarray(fk(jnp.asarray(qs[t])))
         frames.append(np.round(pos, 4).tolist())
     doc = {
@@ -57,5 +91,12 @@ def dump_trajectory(
         "fps": None,
         "frames": frames,
     }
+    if markers is not None:
+        m = np.asarray(markers)
+        doc["markers"] = {
+            "desc": marker_desc
+            or [{"name": f"m{i}", "radius": 0.05} for i in range(m.shape[1])],
+            "frames": np.round(m[sel], 4).tolist(),
+        }
     with open(path, "w") as f:
         json.dump(doc, f)

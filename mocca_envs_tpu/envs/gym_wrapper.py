@@ -61,14 +61,51 @@ class GymEnv:
             info,
         )
 
-    def render(self, mode: str = "state"):
-        if mode != "state":
-            raise NotImplementedError(
-                "GUI rendering is out of scope (SURVEY.md §2.3); use "
-                "mode='state' or harness/viz.py trajectory dumps"
-            )
+    def render(self, mode: str = "state", model=None):
+        """Render the current state.
+
+        - ``state`` → dict of q/qd (external-viewer feed; the default);
+        - ``rgb_array`` → (H, W, 3) uint8 frame (matplotlib orthographic
+          collision-sphere view — the reference's live GUI camera
+          (``env_base.py`` camera follow, SURVEY.md §2.1 C2) is replaced by
+          this offline rasterization; no interactive window exists on a TPU
+          host). Pass ``model`` (RobotModel) for sphere placement; without it
+          only the base trace renders.
+        """
         s = self._state
-        return {"q": np.asarray(s.q), "qd": np.asarray(s.qd)}
+        if mode == "state":
+            return {"q": np.asarray(s.q), "qd": np.asarray(s.qd)}
+        if mode != "rgb_array":
+            raise ValueError(f"unknown render mode {mode!r}")
+        import matplotlib
+
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+
+        fig, ax = plt.subplots(figsize=(4, 3), dpi=96)
+        base = np.asarray(s.q[0:3])
+        if model is not None:
+            from mocca_envs_tpu.ops.collide import sphere_centers
+            from mocca_envs_tpu.ops.kinematics import forward_kinematics
+
+            fd = forward_kinematics(model, s.q, s.qd)
+            centers = np.asarray(sphere_centers(model, fd))
+            radii = np.asarray(model.sph_radius)
+            for c, r in zip(centers, radii):
+                ax.add_patch(plt.Circle((c[0], c[2]), max(r, 0.01), alpha=0.7))
+        ax.plot([base[0]], [base[2]], "r+")
+        sc = s.scene
+        if getattr(sc, "has_ground", False):
+            gz = float(sc.ground_z)
+            ax.axhline(gz, color="k", lw=1)
+        ax.set_xlim(base[0] - 1.5, base[0] + 1.5)
+        ax.set_ylim(base[2] - 1.5, base[2] + 1.5)
+        ax.set_aspect("equal")
+        ax.set_axis_off()
+        fig.canvas.draw()
+        buf = np.asarray(fig.canvas.buffer_rgba())[..., :3].copy()
+        plt.close(fig)
+        return buf
 
     def close(self):
         self._state = None

@@ -196,7 +196,9 @@ def make_walker3d_custom(
         # carries one (Walker3DTerrainEnv reuses this raw_step), else the
         # plane. has_hf is a static field, so this resolves at trace time.
         if scene.has_hf:
-            return scene_mod.hf_sample(scene, xy)
+            # one-hot sampler: gather-free (TPU vmap of a gather is scalar
+            # loops; this is an MXU matmul — see scene.hf_sample_onehot)
+            return scene_mod.hf_sample_onehot(scene, xy)
         return scene.ground_z
 
     def raw_step(state: EnvState, action: jnp.ndarray) -> Transition:
@@ -225,7 +227,7 @@ def make_walker3d_custom(
             # resampled targets sit on the terrain surface (reset does the
             # same in walker_terrain)
             new_target = new_target.at[2].set(
-                scene_mod.hf_sample(state.scene, new_target[:2])
+                scene_mod.hf_sample_onehot(state.scene, new_target[:2])
             )
         target = jnp.where(reached, new_target, state.task.target)
         dist_after = jnp.linalg.norm(target[:2] - q[0:2])

@@ -27,7 +27,7 @@ from mocca_envs_tpu.models import walker3d
 from mocca_envs_tpu.tasks import base as T
 from mocca_envs_tpu.tasks.walker_custom import WalkerParams, make_walker3d_custom
 from mocca_envs_tpu.terrain.heightfield import fractal_heightfield
-from mocca_envs_tpu.terrain.scene import Scene, hf_sample
+from mocca_envs_tpu.terrain.scene import Scene, hf_sample, hf_sample_onehot
 from mocca_envs_tpu.utils.config import EngineConfig
 
 # Terrain height probes appended to the obs (SURVEY.md §2.3 rayTest: the
@@ -92,12 +92,13 @@ def make_walker3d_terrain(
     def reset(key, reset_count, prev: EnvState | None = None) -> EnvState:
         state = base.reset(key, reset_count, prev)
         scene = prev.scene if prev is not None else _terrain_scene(key)
-        # spawn standing on the local surface
-        h = hf_sample(scene, state.q[0:2])
-        q = state.q.at[2].add(h)
-        # target sits on the terrain surface too
-        tgt = state.task.target
-        tgt = tgt.at[2].set(hf_sample(scene, tgt[0:2]))
+        # spawn standing on the local surface; target on the surface too.
+        # (auto-reset traces this into EVERY step — gather-free sampling
+        # matters here as much as in raw_step)
+        pts = jnp.stack([state.q[0:2], state.task.target[0:2]])
+        hs = hf_sample_onehot(scene, pts)
+        q = state.q.at[2].add(hs[0])
+        tgt = state.task.target.at[2].set(hs[1])
         return state.replace(q=q, scene=scene, task=state.task.replace(target=tgt))
 
     offsets = jnp.asarray(PROBE_OFFSETS)
@@ -105,7 +106,10 @@ def make_walker3d_terrain(
 
     def _probes(state: EnvState) -> jnp.ndarray:
         """K terrain heights around the robot, heading-frame ring, relative
-        to the surface under the root — the env's terrain perception."""
+        to the surface under the root — the env's terrain perception.
+
+        One batched gather-free sample (K probes + root in a single one-hot
+        matmul — hf_sample under vmap would lower to TPU scalar loops)."""
         yaw = T.heading_yaw(state.q)
         c, s = jnp.cos(yaw), jnp.sin(yaw)
         world = state.q[0:2] + jnp.stack(
@@ -115,8 +119,9 @@ def make_walker3d_terrain(
             ],
             axis=1,
         )                                                    # (K, 2)
-        h = hf_sample(state.scene, world)
-        return h - hf_sample(state.scene, state.q[0:2])
+        pts = jnp.concatenate([world, state.q[None, 0:2]], axis=0)
+        h = hf_sample_onehot(state.scene, pts)
+        return h[:K] - h[K]
 
     def obs_fn(state: EnvState) -> jnp.ndarray:
         return jnp.concatenate([base.obs_fn(state), _probes(state)])

@@ -16,6 +16,7 @@ heightfield sampling, etc.
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 from flax import struct
 
@@ -122,6 +123,37 @@ def hf_sample(scene: Scene, xy: jnp.ndarray) -> jnp.ndarray:
         + h10 * fu * (1 - fv)
         + h01 * (1 - fu) * fv
         + h11 * fu * fv
+    )
+
+
+def hf_sample_onehot(scene: Scene, xy: jnp.ndarray) -> jnp.ndarray:
+    """Bilinear heightfield sample via one-hot weight matmuls, (K, 2) → (K,).
+
+    Same bilinear function as :func:`hf_sample` (ulp-level differences only:
+    the four corner terms accumulate in matmul order), but with NO gather —
+    under ``vmap`` on TPU a gather lowers to scalar loops while this rides
+    the MXU. Use for per-step hot paths (obs probes, terrain-aware
+    termination); keep :func:`hf_sample` for narrowphase oracles where the
+    per-sphere sample count is small and exact corner identities matter."""
+    H, W = scene.hf_height.shape
+    uv = (xy - scene.hf_xy0) / scene.hf_cell
+    u = jnp.clip(uv[..., 0], 0.0, H - 1.001)
+    v = jnp.clip(uv[..., 1], 0.0, W - 1.001)
+    i0 = jnp.floor(u).astype(jnp.int32)
+    j0 = jnp.floor(v).astype(jnp.int32)
+    fu = (u - i0)[..., None]
+    fv = (v - j0)[..., None]
+    ar = jnp.arange(H)
+    ac = jnp.arange(W)
+    wrow = (
+        (i0[..., None] == ar) * (1.0 - fu) + ((i0 + 1)[..., None] == ar) * fu
+    ).astype(scene.hf_height.dtype)                            # (K, H)
+    wcol = (
+        (j0[..., None] == ac) * (1.0 - fv) + ((j0 + 1)[..., None] == ac) * fv
+    ).astype(scene.hf_height.dtype)                            # (K, W)
+    return jnp.einsum(
+        "...h,hw,...w->...", wrow, scene.hf_height, wcol,
+        precision=jax.lax.Precision.HIGHEST,
     )
 
 

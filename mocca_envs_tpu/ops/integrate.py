@@ -17,16 +17,33 @@ from mocca_envs_tpu.models.schema import RobotModel
 MAX_VEL = 100.0  # hard cap on any generalized velocity [rad/s | m/s]
 
 
-def integrate(model: RobotModel, q: jnp.ndarray, qd_new: jnp.ndarray, dt: float):
-    """Advance positions with already-updated velocities, then enforce joint
-    limits by projection.
+LIMIT_SLOP = 5e-3  # joint-limit violation tolerated before the backstop [rad|m]
 
-    Limits: Bullet resolves joint limits as unilateral constraint rows in
-    its solver (SURVEY.md §2.3); here they are enforced by clamping the
-    joint coordinate to its range and zeroing any outward velocity — a
-    cheaper, unconditionally stable approximation that differs only while a
-    limit is actively engaged (inside the parity tolerance gates; revisit
-    with solver rows if parity testing demands it).
+
+def _limit_backstop(model: RobotModel, joints, qd_j):
+    """Backstop projection BEYOND the solver's limit rows.
+
+    Joint limits are primarily unilateral constraint rows in the impulse
+    solver (ops/solver.pgs_solve — momentum-consistent, like Bullet). This
+    projection only catches fly-through past ``LIMIT_SLOP`` (a joint can
+    cross margin + slop within one substep at high speed) and then zeroes
+    ONLY the outward velocity component, so an inward-recovering joint keeps
+    its momentum. A plain clamp-and-zero here is an energy pump: zeroing a
+    fast limb's velocity without an impulse on the rest of the tree breaks
+    momentum conservation every substep it fires (scripts/diag_flight.py).
+    """
+    lo = model.limit_lo - LIMIT_SLOP
+    hi = model.limit_hi + LIMIT_SLOP
+    clamped = jnp.clip(joints, lo, hi)
+    qd_out = jnp.where((joints > hi) & (qd_j > 0.0), 0.0, qd_j)
+    qd_out = jnp.where((joints < lo) & (qd_out < 0.0), 0.0, qd_out)
+    return clamped, qd_out
+
+
+def integrate(model: RobotModel, q: jnp.ndarray, qd_new: jnp.ndarray, dt: float):
+    """Advance positions with already-updated velocities, then apply the
+    joint-limit backstop (see ``_limit_backstop`` — the real limit handling
+    is constraint rows in the solver).
 
     Velocities are hard-capped at ±MAX_VEL (Bullet similarly clamps), which
     turns a would-be NaN cascade from a violent contact into a recoverable
@@ -36,16 +53,12 @@ def integrate(model: RobotModel, q: jnp.ndarray, qd_new: jnp.ndarray, dt: float)
     qd_new = jnp.clip(qd_new, -MAX_VEL, MAX_VEL)
     if not model.floating:
         joints = q + dt * qd_new
-        clamped = jnp.clip(joints, model.limit_lo, model.limit_hi)
-        at_limit = clamped != joints
-        qd_out = jnp.where(at_limit, 0.0, qd_new)
+        clamped, qd_out = _limit_backstop(model, joints, qd_new)
         return clamped, qd_out
     pos = q[0:3] + dt * qd_new[0:3]
     quat = quat_ops.integrate(q[3:7], qd_new[3:6], dt)
     joints = q[7:] + dt * qd_new[6:]
-    clamped = jnp.clip(joints, model.limit_lo, model.limit_hi)
-    at_limit = clamped != joints
-    qd_j = jnp.where(at_limit, 0.0, qd_new[6:])
+    clamped, qd_j = _limit_backstop(model, joints, qd_new[6:])
     return (
         jnp.concatenate([pos, quat, clamped]),
         jnp.concatenate([qd_new[:6], qd_j]),

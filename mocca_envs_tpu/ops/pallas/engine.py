@@ -23,10 +23,11 @@ DESIGN
   stone boxes) → Newton–Euler bias → composite-body CRBA mass matrix
   (world-frame spatial composites about the base) → unrolled Cholesky →
   W = L⁻¹Jᵀ (so A = WᵀW needs no explicit M⁻¹) → projected Gauss–Seidel
-  over [equality rows (Cassie rods, planar locks, runtime grabs) | contact
-  blocks] with box friction → impulse map L⁻ᵀ(Wλ) → semi-implicit
-  integrate with joint-limit projection and a velocity cap.
-- The row dimension of the constraint system (nr = ne + 3·ns) is kept as a
+  over [equality rows (Cassie rods, planar locks, runtime grabs) |
+  joint-limit rows (unilateral) | contact blocks] with box friction →
+  impulse map L⁻ᵀ(Wλ) → semi-implicit integrate with a slop-band
+  joint-limit backstop and a velocity cap.
+- The row dimension of the constraint system (nr = ne + nlim + 3·ns) is kept as a
   REAL array axis ((nr, 8, 128) values) so substitution/Delassus/PGS trace
   to ~hundreds of vector ops instead of tens of thousands of scalar ops.
 
@@ -234,7 +235,8 @@ def make_pallas_substep(
     K = int(num_stones)
     PHF = int(hf_patch)
     KB = int(num_bars)
-    from mocca_envs_tpu.ops.step import ConstraintSpec
+    from mocca_envs_tpu.ops.integrate import LIMIT_SLOP
+    from mocca_envs_tpu.ops.step import ConstraintSpec, limited_joints
 
     spec = constraints or ConstraintSpec()
     n_p2p = spec.num_p2p
@@ -244,7 +246,11 @@ def make_pallas_substep(
     nl, nj = model.nl, model.nj
     nv, nq = model.nv, model.nq
     ns = model.ns
-    nr = ne + 3 * ns
+    lim_idx = limited_joints(model)
+    nlim = len(lim_idx)
+    nr = ne + nlim + 3 * ns
+    lim_slop = float(LIMIT_SLOP)
+    lim_margin = float(config.limit_margin)
     dt = float(config.dt)
     n_sub = int(config.sim_substeps)
     beta_dt = float(config.baumgarte) / dt
@@ -765,6 +771,24 @@ def make_pallas_substep(
                     act_rows.append(g_act[g])
                     mu_rows.append(0.0)
 
+            # joint-limit rows: unilateral toward the nearer bound, mirroring
+            # ops/step.py (row layout [equality | limits | contacts])
+            for j in lim_idx:
+                d_lo = qj[j] - float(lim_lo[j])
+                d_hi = float(lim_hi[j]) - qj[j]
+                sgn = jnp.where(d_lo <= d_hi, 1.0, -1.0)
+                gap = jnp.minimum(d_lo, d_hi)
+                row = [0.0] * nv
+                row[6 + j] = sgn
+                Jrows.append(row)
+                viol = -gap
+                targets.append(
+                    jnp.minimum(beta_dt * jnp.maximum(viol - lim_slop, 0.0), maxpush)
+                    - jnp.maximum(-viol, 0.0) / dt
+                )
+                act_rows.append((gap < lim_margin).astype(jnp.float32))
+                mu_rows.append(0.0)
+
             for s in range(ns):
                 cols = jac_cols(sph_link[s], cpoint[s])
                 t1, t2 = tangent_frame(normal[s])
@@ -834,8 +858,12 @@ def make_pallas_substep(
                 for r in range(ne):
                     new = (lam[r] - resid[r] / diag[r]) * act_rows[r]
                     lam, resid = row_update(lam, resid, r, new)
+                # joint-limit rows: unilateral (λ ≥ 0)
+                for r in range(ne, ne + nlim):
+                    new = jnp.maximum(0.0, lam[r] - resid[r] / diag[r]) * act_rows[r]
+                    lam, resid = row_update(lam, resid, r, new)
                 for s in range(ns):
-                    b0 = ne + 3 * s
+                    b0 = ne + nlim + 3 * s
                     new = jnp.maximum(0.0, lam[b0] - resid[b0] / diag[b0]) * act_rows[b0]
                     lam, resid = row_update(lam, resid, b0, new)
                     bound = mu_rows[b0] * lam[b0]
@@ -865,17 +893,24 @@ def make_pallas_substep(
                 bq_n[0] * bq_n[0] + bq_n[1] * bq_n[1] + bq_n[2] * bq_n[2] + bq_n[3] * bq_n[3]
             )
             bq_n = tuple(mul(c, qn2) for c in bq_n)
+            # joint-limit BACKSTOP beyond the solver rows (mirrors
+            # ops/integrate._limit_backstop): clamp past the slop band and
+            # zero only the outward velocity component.
             qj_n = []
             qdj_n = []
             for j in range(nj):
                 raw = add(qj[j], mul(dt, qd_n[6 + j]))
-                cl = jnp.clip(raw, float(lim_lo[j]), float(lim_hi[j]))
-                hitlim = (cl != raw)
+                lo_b = float(lim_lo[j]) - lim_slop
+                hi_b = float(lim_hi[j]) + lim_slop
+                cl = jnp.clip(raw, lo_b, hi_b)
+                v = qd_n[6 + j]
+                v = jnp.where((raw > hi_b) & (v > 0.0), 0.0, v)
+                v = jnp.where((raw < lo_b) & (v < 0.0), 0.0, v)
                 qj_n.append(cl)
-                qdj_n.append(jnp.where(hitlim, 0.0, qd_n[6 + j]))
+                qdj_n.append(v)
             q_out = list(bp_n) + list(bq_n) + qj_n
             qd_out = [qd_n[k] for k in range(6)] + qdj_n
-            nimp = [lam[ne + 3 * s] for s in range(ns)]
+            nimp = [lam[ne + nlim + 3 * s] for s in range(ns)]
             return q_out, qd_out, depth, nimp
 
         q_s = [q_ref[c] for c in range(nq)]

@@ -16,12 +16,20 @@ the hardware:
   row), so a sweep costs nr² flops across the whole batch on the VPU.
 
 Row layout (static per env family):
-    [ equality rows (ne) | contact blocks (nc × [normal, t1, t2]) ]
+    [ equality rows (ne) | joint-limit rows (nlim) | contact blocks (nc × [normal, t1, t2]) ]
 
 Equality rows cover the closed-chain rods and planar locks (reference
 behavior B3, ``createConstraint(JOINT_POINT2POINT)``) and monkey-bar grabs
 (behavior B8) via activity masks — constraint *activation* is data, never
 structure.
+
+Joint-limit rows are unilateral (λ ≥ 0, no friction), one per limited
+joint, signed toward the nearer bound — Bullet likewise resolves limits as
+solver constraint rows (SURVEY.md §2.3). A position-projection clamp is NOT
+equivalent: zeroing a joint velocity outside the solver exchanges no
+momentum with the rest of the tree, and under strong torques the resulting
+limit-chatter pumps energy until the whole robot flies (measured: random
+torques sent the walker to z≈50 m — scripts/diag_flight.py).
 """
 
 from __future__ import annotations
@@ -50,11 +58,12 @@ def pgs_solve(
     ne: int,               # static: number of unbounded equality rows
     nc: int,               # static: number of contact blocks
     iters: int,            # static: fixed sweep count
+    nlim: int = 0,         # static: unilateral joint-limit rows after ne
 ) -> jnp.ndarray:
     """Return impulses λ (nr,). Complementarity: equality rows unbounded,
-    normal rows λ ≥ 0, friction rows |λ_t| ≤ μ λ_n (box friction, matching
-    Bullet's default two-direction friction model)."""
-    nr = ne + 3 * nc
+    limit rows λ ≥ 0, normal rows λ ≥ 0, friction rows |λ_t| ≤ μ λ_n (box
+    friction, matching Bullet's default two-direction friction model)."""
+    nr = ne + nlim + 3 * nc
     diag = jnp.maximum(jnp.diagonal(A), 1e-9)
 
     def sweep(_, carry):
@@ -69,8 +78,10 @@ def pgs_solve(
 
         for i in range(ne):
             lam, r = update(lam, r, i, lam[i] - r[i] / diag[i])
+        for i in range(ne, ne + nlim):
+            lam, r = update(lam, r, i, jnp.maximum(0.0, lam[i] - r[i] / diag[i]))
         for k in range(nc):
-            b = ne + 3 * k
+            b = ne + nlim + 3 * k
             lam, r = update(lam, r, b, jnp.maximum(0.0, lam[b] - r[b] / diag[b]))
             bound = mu[k] * lam[b]
             for t in (b + 1, b + 2):

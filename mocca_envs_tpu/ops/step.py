@@ -32,7 +32,7 @@ from mocca_envs_tpu.core import quat as quat_ops
 from mocca_envs_tpu.models.schema import RobotModel
 from mocca_envs_tpu.ops import collide as collide_mod
 from mocca_envs_tpu.ops.dynamics import forward_dynamics
-from mocca_envs_tpu.ops.integrate import integrate
+from mocca_envs_tpu.ops.integrate import LIMIT_SLOP, integrate
 from mocca_envs_tpu.ops.kinematics import (
     FrameData,
     forward_kinematics,
@@ -74,6 +74,23 @@ class ConstraintSpec:
     @property
     def ne(self) -> int:
         return 3 * self.num_p2p + (3 if self.planar else 0) + 3 * self.num_grabs
+
+
+LIMIT_RANGE_CAP = 12.0  # joints with a wider range get no limit row [rad|m]
+
+
+def limited_joints(model: RobotModel) -> tuple:
+    """Static indices of joints that get a solver limit row.
+
+    Shared by the JAX path and the fused kernel so both build the same row
+    layout ``[equality | limits | contacts]``. Joints with effectively
+    unbounded ranges (continuous rotors) are excluded at trace time.
+    """
+    import numpy as np
+
+    lo = np.asarray(model.limit_lo)
+    hi = np.asarray(model.limit_hi)
+    return tuple(int(j) for j in range(model.nj) if hi[j] - lo[j] < LIMIT_RANGE_CAP)
 
 
 class StepInfo(struct.PyTreeNode):
@@ -126,6 +143,8 @@ def make_substep(
     dt = config.dt
     ns = model.ns
     ne = constraints.ne
+    lim_idx = limited_joints(model)
+    nlim = len(lim_idx)
     damping = model.damping + (0.0 if extra_damping is None else extra_damping)
 
     def _eq_target(err):
@@ -198,6 +217,27 @@ def make_substep(
             rows_tgt.append(_eq_target(err))
             rows_act.append(jnp.full((3,), grab_active[g], dtype=q.dtype))
 
+        # joint-limit rows: unilateral, signed toward the nearer bound.
+        # Solver rows (not projection clamps) so limit impulses exchange
+        # momentum with the whole tree — see ops/solver.py module docstring.
+        if nlim:
+            li = jnp.asarray(lim_idx, dtype=jnp.int32)
+            d_lo = qj[li] - model.limit_lo[li]
+            d_hi = model.limit_hi[li] - qj[li]
+            sgn = jnp.where(d_lo <= d_hi, 1.0, -1.0).astype(q.dtype)
+            gap = jnp.minimum(d_lo, d_hi)
+            base_off = 6 if model.floating else 0
+            Jl = jnp.zeros((nlim, model.nv), dtype=q.dtype)
+            Jl = Jl.at[jnp.arange(nlim), base_off + li].set(sgn)
+            viol = -gap
+            push_l = jnp.minimum(
+                (config.baumgarte / dt) * jnp.maximum(viol - LIMIT_SLOP, 0.0),
+                config.max_push_vel,
+            ) - jnp.maximum(-viol, 0.0) / dt
+            rows_J.append(Jl)
+            rows_tgt.append(push_l)
+            rows_act.append((gap < config.limit_margin).astype(q.dtype))
+
         # contact rows, one block per collision sphere
         Jc = jax.vmap(lambda l, x: point_jacobian(model, fd, l, x))(
             contacts.link, contacts.pos
@@ -226,12 +266,12 @@ def make_substep(
         A, MinvJT = delassus(Minv, J, config.cfm)
         c = J @ v_free - target
         mu = jnp.full((ns,), scene.friction, dtype=q.dtype)
-        lam = pgs_solve(A, c, active, mu, ne, ns, config.solver_iters)
+        lam = pgs_solve(A, c, active, mu, ne, ns, config.solver_iters, nlim=nlim)
 
         qd_new = v_free + MinvJT @ lam
         q_new, qd_new = integrate(model, q, qd_new, dt)
 
-        normal_impulse = lam[ne:].reshape(ns, 3)[:, 0]
+        normal_impulse = lam[ne + nlim:].reshape(ns, 3)[:, 0]
         info = StepInfo(
             contacts=contacts,
             normal_impulse=normal_impulse,

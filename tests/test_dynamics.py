@@ -182,3 +182,54 @@ def test_jit_equals_eager():
     qd = jnp.asarray(free_qd(lin=(0.5, 0, 0), ang=(0, 1, 0), joints=(1.0, -0.5)))
     f = lambda q, qd: bias_forces(model, forward_kinematics(model, q, qd), qd)
     np.testing.assert_allclose(jax.jit(f)(q, qd), f(q, qd), rtol=1e-5, atol=1e-6)
+
+
+def test_airborne_com_free_falls_under_internal_torques():
+    """Momentum-conservation regression (the "flying walker" bug).
+
+    Internal joint torques can exert NO net force on the COM: an airborne
+    robot must free-fall whatever the policy does. The old joint-limit
+    projection clamp (zero qd at the bound, outside the solver) violated
+    this — random full-power torques pumped the walker to z ≈ 50 m and
+    +80 m/s within one second (scripts/diag_flight.py), making every
+    locomotion task unlearnable. Limits are now unilateral solver rows.
+    """
+    from mocca_envs_tpu.models import walker3d
+    from mocca_envs_tpu.ops.step import make_control_step
+    from mocca_envs_tpu.terrain import scene as scene_mod
+    from mocca_envs_tpu.utils.config import EngineConfig
+
+    model = walker3d.make_model()
+    config = EngineConfig(use_pallas=False)
+    control = make_control_step(
+        model,
+        config,
+        actuation=lambda q, qd, a: model.power_coef * model.actuated * jnp.clip(a, -1, 1),
+    )
+    scene = scene_mod.flat(ground_z=-1000.0)  # never touches down
+
+    def com_z(q, qd):
+        fd = forward_kinematics(model, q, qd)
+        return jnp.sum(fd.com_w[:, 2] * model.mass) / jnp.sum(model.mass)
+
+    def roll(steps):
+        q = jnp.concatenate(
+            [jnp.array([0.0, 0.0, 50.0]), jnp.array([1.0, 0, 0, 0]), jnp.zeros(model.nj)]
+        )
+        qd = jnp.zeros(model.nv)
+        z0 = com_z(q, qd)
+
+        def body(carry, k):
+            q, qd = carry
+            a = jax.random.uniform(k, (model.nj,), minval=-1.0, maxval=1.0)
+            q2, qd2, _ = control(q, qd, a, scene)
+            return (q2, qd2), None
+
+        (q, qd), _ = jax.lax.scan(body, (q, qd), jax.random.split(jax.random.key(3), steps))
+        return z0, com_z(q, qd)
+
+    steps = 30
+    z0, z1 = jax.jit(lambda: roll(steps))()
+    T = steps * EngineConfig().control_dt
+    expected_drop = 0.5 * 9.8 * T * T
+    np.testing.assert_allclose(float(z0 - z1), expected_drop, atol=0.12)

@@ -259,6 +259,7 @@ def make_pallas_substep(
     margin = float(config.contact_margin)
     cfm = float(config.cfm)
     iters = int(config.solver_iters)
+    block_pgs = bool(config.block_pgs)
     gx, gy, gz_acc = (float(g) for g in config.gravity)
 
     # ---- host-side constants from the model. NOTE: convert whole arrays to
@@ -845,6 +846,20 @@ def make_pallas_substep(
             row_ids = jax.lax.broadcasted_iota(jnp.int32, (nr, 1, 1), 0)
             onehot = [(row_ids == r).astype(jnp.float32) for r in range(nr)]
 
+            if block_pgs and ns:
+                # per-contact 2×2 friction-block inverses, precomputed once
+                # (A is constant across sweeps) — mirrors ops/solver.pgs_solve
+                # block mode exactly
+                finv = []
+                for s in range(ns):
+                    t1r = ne + nlim + 3 * s + 1
+                    t2r = t1r + 1
+                    a11 = jnp.maximum(A[t1r, t1r], 1e-9)
+                    a22 = jnp.maximum(A[t2r, t2r], 1e-9)
+                    a12 = A[t1r, t2r]
+                    det = jnp.maximum(a11 * a22 - a12 * a12, 1e-12)
+                    finv.append((a22 / det, a11 / det, -a12 / det))
+
             def sweep(_, carry):
                 lam, resid = carry
 
@@ -867,9 +882,21 @@ def make_pallas_substep(
                     new = jnp.maximum(0.0, lam[b0] - resid[b0] / diag[b0]) * act_rows[b0]
                     lam, resid = row_update(lam, resid, b0, new)
                     bound = mu_rows[b0] * lam[b0]
-                    for t in (b0 + 1, b0 + 2):
-                        new = jnp.clip(lam[t] - resid[t] / diag[t], -bound, bound) * act_rows[t]
-                        lam, resid = row_update(lam, resid, t, new)
+                    if block_pgs:
+                        # coupled 2×2 friction solve, then box clamp
+                        i11, i22, i12 = finv[s]
+                        d1 = -(i11 * resid[b0 + 1] + i12 * resid[b0 + 2])
+                        d2 = -(i12 * resid[b0 + 1] + i22 * resid[b0 + 2])
+                        n1 = jnp.clip(lam[b0 + 1] + d1, -bound, bound) * act_rows[b0 + 1]
+                        n2 = jnp.clip(lam[b0 + 2] + d2, -bound, bound) * act_rows[b0 + 2]
+                        e1 = n1 - lam[b0 + 1]
+                        e2 = n2 - lam[b0 + 2]
+                        lam = lam + onehot[b0 + 1] * e1[None] + onehot[b0 + 2] * e2[None]
+                        resid = resid + A[:, b0 + 1] * e1[None] + A[:, b0 + 2] * e2[None]
+                    else:
+                        for t in (b0 + 1, b0 + 2):
+                            new = jnp.clip(lam[t] - resid[t] / diag[t], -bound, bound) * act_rows[t]
+                            lam, resid = row_update(lam, resid, t, new)
                 return lam, resid
 
             lam0 = jnp.zeros((nr,) + SUB, dtype=jnp.float32)

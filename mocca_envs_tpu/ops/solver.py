@@ -59,12 +59,35 @@ def pgs_solve(
     nc: int,               # static: number of contact blocks
     iters: int,            # static: fixed sweep count
     nlim: int = 0,         # static: unilateral joint-limit rows after ne
+    block: bool = False,   # static: exact 2×2 friction solve per contact
 ) -> jnp.ndarray:
     """Return impulses λ (nr,). Complementarity: equality rows unbounded,
     limit rows λ ≥ 0, normal rows λ ≥ 0, friction rows |λ_t| ≤ μ λ_n (box
-    friction, matching Bullet's default two-direction friction model)."""
+    friction, matching Bullet's default two-direction friction model).
+
+    ``block=True`` (EngineConfig.block_pgs) upgrades each contact visit to a
+    block Gauss–Seidel step: the normal row keeps its exact scalar projected
+    update (so normal complementarity is exact per visit), then the two
+    friction rows are solved as a coupled 2×2 system and box-clamped —
+    the tangent rows couple through A whenever the tangent directions are
+    not M⁻¹-orthogonal, and the joint solve removes the t1↔t2 chatter of
+    row PGS. While friction bounds are inactive both orders share the unique
+    mixed-LCP fixed point; at a saturated bound the box LCP admits distinct
+    valid corners per sweep order (Bullet is likewise order-dependent). The
+    extra cost is one precomputed 2×2 inverse per contact and 4 madds per
+    visit.
+    """
     nr = ne + nlim + 3 * nc
     diag = jnp.maximum(jnp.diagonal(A), 1e-9)
+
+    if block and nc:
+        # per-contact 2×2 friction-block inverses (A is constant over sweeps)
+        tb = ne + nlim + 3 * jnp.arange(nc)
+        a11 = jnp.maximum(A[tb + 1, tb + 1], 1e-9)
+        a22 = jnp.maximum(A[tb + 2, tb + 2], 1e-9)
+        a12 = A[tb + 1, tb + 2]
+        det = jnp.maximum(a11 * a22 - a12 * a12, 1e-12)
+        fi11, fi22, fi12 = a22 / det, a11 / det, -a12 / det
 
     def sweep(_, carry):
         lam, r = carry
@@ -76,6 +99,15 @@ def pgs_solve(
             r = r + A[:, i] * d
             return lam, r
 
+        def update2(lam, r, i, j, new_i, new_j):
+            new_i = new_i * active[i]
+            new_j = new_j * active[j]
+            di = new_i - lam[i]
+            dj = new_j - lam[j]
+            lam = lam.at[i].set(new_i).at[j].set(new_j)
+            r = r + A[:, i] * di + A[:, j] * dj
+            return lam, r
+
         for i in range(ne):
             lam, r = update(lam, r, i, lam[i] - r[i] / diag[i])
         for i in range(ne, ne + nlim):
@@ -84,10 +116,19 @@ def pgs_solve(
             b = ne + nlim + 3 * k
             lam, r = update(lam, r, b, jnp.maximum(0.0, lam[b] - r[b] / diag[b]))
             bound = mu[k] * lam[b]
-            for t in (b + 1, b + 2):
-                lam, r = update(
-                    lam, r, t, jnp.clip(lam[t] - r[t] / diag[t], -bound, bound)
+            if block:
+                d1 = -(fi11[k] * r[b + 1] + fi12[k] * r[b + 2])
+                d2 = -(fi12[k] * r[b + 1] + fi22[k] * r[b + 2])
+                lam, r = update2(
+                    lam, r, b + 1, b + 2,
+                    jnp.clip(lam[b + 1] + d1, -bound, bound),
+                    jnp.clip(lam[b + 2] + d2, -bound, bound),
                 )
+            else:
+                for t in (b + 1, b + 2):
+                    lam, r = update(
+                        lam, r, t, jnp.clip(lam[t] - r[t] / diag[t], -bound, bound)
+                    )
         return lam, r
 
     # zeros_like (not zeros): under shard_map the carry must match c's

@@ -266,7 +266,10 @@ def make_substep(
         A, MinvJT = delassus(Minv, J, config.cfm)
         c = J @ v_free - target
         mu = jnp.full((ns,), scene.friction, dtype=q.dtype)
-        lam = pgs_solve(A, c, active, mu, ne, ns, config.solver_iters, nlim=nlim)
+        lam = pgs_solve(
+            A, c, active, mu, ne, ns, config.solver_iters,
+            nlim=nlim, block=config.block_pgs,
+        )
 
         qd_new = v_free + MinvJT @ lam
         q_new, qd_new = integrate(model, q, qd_new, dt)

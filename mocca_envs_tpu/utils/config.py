@@ -38,6 +38,10 @@ class EngineConfig:
     max_push_vel: float = 1.0       # cap on correction velocity [m/s]
     cfm: float = 1e-6               # constraint force mixing (A-diag reg.)
     contact_margin: float = 0.02    # rows activate within this distance [m]
+    # Solve each contact's two friction rows as a coupled 2×2 system per
+    # sweep (ops/solver.pgs_solve block mode) — same fixed point as row PGS,
+    # faster convergence, so fewer solver_iters buy equal accuracy.
+    block_pgs: bool = False
     limit_margin: float = 0.15      # joint-limit rows activate within [rad|m]
     gravity: tuple = (0.0, 0.0, -9.8)  # pybullet default, SURVEY.md §2.3
     # Use the fused Pallas substep kernel (ops/pallas/engine.py) when the

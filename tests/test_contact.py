@@ -148,3 +148,38 @@ def test_energy_dissipates_not_gains():
 
     _, es = jax.lax.scan(jax.jit(body), (q, qd), None, length=500)
     assert float(jnp.max(es)) <= float(e0) * 1.01 + 1e-3
+
+
+def test_block_pgs_contact_behaviors_with_fewer_sweeps():
+    """EngineConfig.block_pgs at 8 sweeps reproduces the row-PGS behavioral
+    gates that run at 20: resting height, roll-without-slip, frictionless
+    glide. This is the accuracy-per-sweep claim the flag exists for."""
+    cfg = EngineConfig(solver_iters=8, block_pgs=True)
+
+    model = ball(radius=0.1)
+    substep = make_substep(model, cfg)
+
+    q, qd = _run(
+        model, substep,
+        jnp.asarray(free_q(pos=(0, 0, 0.5))), jnp.asarray(free_qd()),
+        scene_mod.flat(), 400,
+    )
+    assert abs(float(q[2]) - 0.1) < 5e-3, q[2]
+    np.testing.assert_allclose(qd[0:3], np.zeros(3), atol=1e-2)
+
+    q, qd = _run(
+        model, substep,
+        jnp.asarray(free_q(pos=(0, 0, 0.1))),
+        jnp.asarray(free_qd(lin=(2.0, 0, 0))),
+        scene_mod.flat(friction=0.8), 500,
+    )
+    v_contact = qd[0:3] + jnp.cross(qd[3:6], jnp.array([0.0, 0.0, -0.1]))
+    np.testing.assert_allclose(v_contact, np.zeros(3), atol=5e-2)
+
+    q, qd = _run(
+        model, substep,
+        jnp.asarray(free_q(pos=(0, 0, 0.1))),
+        jnp.asarray(free_qd(lin=(2.0, 0, 0))),
+        scene_mod.flat(friction=0.0), 200,
+    )
+    np.testing.assert_allclose(qd[0], 2.0, rtol=5e-2)

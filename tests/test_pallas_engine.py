@@ -311,3 +311,34 @@ def test_pallas_stones_matches_jax_substep():
         np.sort(np.asarray(depth_j), axis=0),
         atol=5e-3,
     )
+
+
+@pytest.mark.slow
+def test_pallas_block_pgs_matches_jax_substep():
+    """Fused kernel with EngineConfig.block_pgs mirrors the JAX oracle's
+    block solve exactly (same 2×2 friction inverses, same sweep order)."""
+    cfg = EngineConfig(sim_substeps=2, solver_iters=8, block_pgs=True)
+    model = hopper()
+    B = TILE
+    q, qd = _random_states(model, B, jax.random.key(21))
+    tau = 0.5 * jax.random.normal(jax.random.key(22), (B, model.nj))
+    gz = jnp.zeros(B)
+    fric = jnp.full((B,), 0.8)
+
+    pal = make_pallas_substep(model, cfg, interpret=True)
+    q_p, qd_p, depth_p, nimp_p = pal(q, qd, tau, gz, fric)
+
+    sub = make_substep(model, cfg)
+    scene = scene_mod.flat()
+
+    def jax_path(q1, qd1, t1):
+        qq, dd = q1, qd1
+        for _ in range(cfg.sim_substeps):
+            qq, dd, info = sub(qq, dd, t1, scene)
+        return qq, dd, info.contacts.depth, info.normal_impulse
+
+    q_j, qd_j, depth_j, nimp_j = jax.vmap(jax_path)(q, qd, tau)
+
+    np.testing.assert_allclose(np.asarray(q_p), np.asarray(q_j), atol=2e-4)
+    np.testing.assert_allclose(np.asarray(qd_p), np.asarray(qd_j), atol=5e-3)
+    np.testing.assert_allclose(np.asarray(nimp_p), np.asarray(nimp_j), atol=5e-3)

@@ -60,6 +60,12 @@ class PPOConfig:
     # ||π(M_obs(s)) − M_act(π(s))||² so gaits stay left/right symmetric.
     # Consumes the env's mirror_spec; 0 disables (and costs nothing).
     mirror_coef: float = 0.0
+    # Exploration floor: the state-independent log_std is clamped here
+    # before sampling/likelihood/entropy. With ent_coef=0 PPO otherwise
+    # shrinks std without bound once a local optimum (e.g. standing still)
+    # pays better than exploring — by transfer time the policy can no longer
+    # discover a new task's rewards. −2.0 keeps σ ≥ 0.135.
+    log_std_min: float = -2.0
 
 
 class RunningNorm(struct.PyTreeNode):
@@ -244,6 +250,7 @@ class PPOLearner:
         def policy(params_and_norm, obs, key):
             params, norm = params_and_norm
             mean, log_std, value = net.apply(params, _maybe_norm(norm, obs))
+            log_std = jnp.maximum(log_std, cfg.log_std_min)
             action, log_prob = _gaussian_sample(mean, log_std, key)
             return action, log_prob, value
 
@@ -260,6 +267,7 @@ class PPOLearner:
         def loss_fn(params, mb, adv_stats, norm):
             obs, action, old_lp, old_v, adv, ret = mb
             mean, log_std, value = net.apply(params, _maybe_norm(norm, obs))
+            log_std = jnp.maximum(log_std, cfg.log_std_min)
             adv_mean, adv_std = adv_stats
             adv_n = (adv - adv_mean) / (adv_std + 1e-8)
             lp = _gaussian_log_prob(mean, log_std, action)

@@ -36,13 +36,28 @@ def embed_pytree(src, dst):
     return jax.tree.map(leaf, src, dst)
 
 
-def transfer_train_state(src_state, dst_state):
+def transfer_train_state(src_state, dst_state, reset_log_std: float | None = None):
     """Embed a pretrained TrainState into a freshly-initialized one.
 
     Params and the obs-normalizer transfer (prefix-embedded); the optimizer
     state, env states and keys stay fresh — curriculum starts clean.
+
+    ``reset_log_std`` re-opens exploration on the new task: by the end of
+    pretraining PPO has annealed the Gaussian's state-independent log_std
+    toward (or onto) PPOConfig.log_std_min, and a near-deterministic policy
+    cannot discover the new task's contact-gated bonuses (measured: stepper
+    transfer stuck at steps_reached≈1 with entropy < 0). Pass e.g. −0.5 to
+    restore the fresh-init exploration level while keeping the gait.
     """
+    params = embed_pytree(src_state.params, dst_state.params)
+    if reset_log_std is not None:
+        def reset(path, leaf):
+            if any(getattr(p, "key", None) == "log_std" for p in path):
+                return jnp.full_like(leaf, reset_log_std)
+            return leaf
+
+        params = jax.tree_util.tree_map_with_path(reset, params)
     return dst_state.replace(
-        params=embed_pytree(src_state.params, dst_state.params),
+        params=params,
         obs_norm=embed_pytree(src_state.obs_norm, dst_state.obs_norm),
     )

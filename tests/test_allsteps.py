@@ -8,6 +8,7 @@ mirror-symmetry PPO loss — the three pieces that turn the stepper from
 import jax
 import jax.numpy as jnp
 import numpy as np
+import dataclasses
 import pytest
 
 import mocca_envs_tpu
@@ -114,3 +115,52 @@ def test_mirror_loss_trains_and_symmetrizes():
         gaps[coef] = sym_gap(learner, state, jax.random.key(42))
     assert np.isfinite(gaps[4.0])
     assert gaps[4.0] < gaps[0.0], gaps
+
+
+def test_transfer_reset_log_std():
+    """reset_log_std re-opens exploration: the log_std leaf takes the given
+    value while every other leaf still embeds from the source."""
+    walker = mocca_envs_tpu.make("Walker3DCustomEnv")
+    stepper = mocca_envs_tpu.make("Walker3DStepperEnv")
+    src = PPOLearner(walker, CFG, num_envs=4).init(seed=0)
+    # simulate an annealed pretrain policy
+    collapsed = jax.tree_util.tree_map_with_path(
+        lambda path, leaf: jnp.full_like(leaf, -3.0)
+        if any(getattr(p, "key", None) == "log_std" for p in path)
+        else leaf,
+        src.params,
+    )
+    src = src.replace(params=collapsed)
+    dst0 = PPOLearner(stepper, CFG, num_envs=4).init(seed=1)
+
+    kept = transfer_train_state(src, dst0)
+    np.testing.assert_allclose(np.asarray(kept.params["params"]["log_std"]), -3.0)
+
+    dst = transfer_train_state(src, dst0, reset_log_std=-0.5)
+    np.testing.assert_allclose(np.asarray(dst.params["params"]["log_std"]), -0.5)
+    np.testing.assert_array_equal(
+        np.asarray(dst.params["params"]["Dense_1"]["kernel"]),
+        np.asarray(src.params["params"]["Dense_1"]["kernel"]),
+    )
+
+
+def test_log_std_floor_bounds_entropy():
+    """PPOConfig.log_std_min floors the sampling distribution: even with a
+    log_std param far below the floor, rollout actions keep at least the
+    floor's spread."""
+    walker = mocca_envs_tpu.make("Walker3DCustomEnv")
+    cfg = dataclasses.replace(CFG, log_std_min=-1.0)
+    learner = PPOLearner(walker, cfg, num_envs=4)
+    state = learner.init(seed=0)
+    collapsed = jax.tree_util.tree_map_with_path(
+        lambda path, leaf: jnp.full_like(leaf, -20.0)
+        if any(getattr(p, "key", None) == "log_std" for p in path)
+        else leaf,
+        state.params,
+    )
+    state = state.replace(params=collapsed)
+    state, metrics = learner.train_step(state)
+    # entropy reported from the clamped log_std: act_dim * (floor + const)
+    act_dim = walker.act_dim
+    expected = act_dim * (-1.0 + 0.5 * np.log(2 * np.pi * np.e))
+    np.testing.assert_allclose(float(metrics["entropy"]), expected, atol=1e-3)

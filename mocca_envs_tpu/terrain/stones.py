@@ -31,9 +31,14 @@ class StoneParams(struct.PyTreeNode):
     num_steps: int = struct.field(pytree_node=False, default=20)
     stage: jnp.ndarray = struct.field(default_factory=lambda: jnp.zeros((), jnp.float32))
     max_stage: jnp.ndarray = struct.field(default_factory=lambda: jnp.asarray(9.0))
-    # per-step increment ranges at stage 0 → max stage (ALLSTEPS-style)
-    r_lo: jnp.ndarray = struct.field(default_factory=lambda: jnp.asarray(0.65))
-    r_hi_start: jnp.ndarray = struct.field(default_factory=lambda: jnp.asarray(0.75))
+    # per-step increment ranges at stage 0 → max stage (ALLSTEPS-style).
+    # Spacing ALSO ramps: stage 0's r ≈ 0.35–0.45 m keeps consecutive
+    # 0.5 m stones overlapping (a continuous walkway — stepping almost in
+    # place advances the chain), so a from-scratch policy meets a dense
+    # step-bonus gradient; end stages reach the paper's 0.65–1.35 m strides.
+    r_lo_start: jnp.ndarray = struct.field(default_factory=lambda: jnp.asarray(0.35))
+    r_lo_end: jnp.ndarray = struct.field(default_factory=lambda: jnp.asarray(0.65))
+    r_hi_start: jnp.ndarray = struct.field(default_factory=lambda: jnp.asarray(0.45))
     r_hi_end: jnp.ndarray = struct.field(default_factory=lambda: jnp.asarray(1.35))
     yaw_max_end: jnp.ndarray = struct.field(default_factory=lambda: jnp.asarray(20.0 * DEG))
     pitch_max_end: jnp.ndarray = struct.field(default_factory=lambda: jnp.asarray(50.0 * DEG))
@@ -58,13 +63,14 @@ def sample_stones(params: StoneParams, key: jax.Array, start: jnp.ndarray):
     """
     K = params.num_steps
     frac = jnp.clip(params.stage / jnp.maximum(params.max_stage, 1.0), 0.0, 1.0)
+    r_lo = params.r_lo_start + frac * (params.r_lo_end - params.r_lo_start)
     r_hi = params.r_hi_start + frac * (params.r_hi_end - params.r_hi_start)
     yaw_max = frac * params.yaw_max_end
     pitch_max = frac * params.pitch_max_end
     tilt_max = frac * params.tilt_max_end
 
     ks = jax.random.split(key, 5)
-    r = rng_mod.uniform(ks[0], (K,), params.r_lo, r_hi)
+    r = rng_mod.uniform(ks[0], (K,), r_lo, r_hi)
     dyaw = rng_mod.uniform(ks[1], (K,), -yaw_max, yaw_max)
     pitch = rng_mod.uniform(ks[2], (K,), -pitch_max, pitch_max)
     tilt_x = rng_mod.uniform(ks[3], (K,), -tilt_max, tilt_max)
@@ -76,7 +82,7 @@ def sample_stones(params: StoneParams, key: jax.Array, start: jnp.ndarray):
     pitch = jnp.where(easy, 0.0, pitch)
     tilt_x = jnp.where(easy, 0.0, tilt_x)
     tilt_y = jnp.where(easy, 0.0, tilt_y)
-    r = jnp.where(easy, 0.75, r)
+    r = jnp.where(easy, 0.5 * (r_lo + r_hi), r)
 
     heading = jnp.cumsum(dyaw)
     delta = r[:, None] * jnp.stack(

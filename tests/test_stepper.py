@@ -18,9 +18,15 @@ def test_stone_chain_shape_and_determinism():
     pos2, quat2 = sample_stones(p, key, jnp.zeros(3))
     assert pos1.shape == (p.num_steps, 3)
     np.testing.assert_array_equal(pos1, pos2)
-    # consecutive stone spacing within configured ranges
+    # consecutive stone spacing within configured ranges: stage 0 stones
+    # overlap (continuous walkway); stage 9 reaches ALLSTEPS stride ranges
     d = jnp.linalg.norm(jnp.diff(pos1, axis=0), axis=1)
-    assert float(jnp.min(d)) > 0.5 and float(jnp.max(d)) < 1.6
+    assert float(jnp.min(d)) >= 0.35 - 1e-6 and float(jnp.max(d)) <= 0.45 + 1e-6
+    d9 = jnp.linalg.norm(
+        jnp.diff(sample_stones(p.set_stage(9), key, jnp.zeros(3))[0], axis=0),
+        axis=1,
+    )
+    assert float(jnp.max(d9)) > 0.8 and float(jnp.max(d9)) < 1.6
 
 
 def test_curriculum_stage_widens_ranges():

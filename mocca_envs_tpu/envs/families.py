@@ -16,6 +16,14 @@ from mocca_envs_tpu.tasks.walker_custom import make_walker3d_custom
 from mocca_envs_tpu.tasks.walker_stepper import make_walker3d_stepper
 
 register("Walker3DCustomEnv", make_walker3d_custom)
+# not a reference ID: the PD-servoed walker BASELINE config 2 benches
+# ("Walker3DCustomEnv batched 4096 … flat terrain, PD control")
+register(
+    "Walker3DPDCustomEnv",
+    functools.partial(
+        make_walker3d_custom, name="Walker3DPDCustomEnv", pd_control=True
+    ),
+)
 register("Walker3DStepperEnv", make_walker3d_stepper)
 register("CassieEnv", make_cassie)
 register(

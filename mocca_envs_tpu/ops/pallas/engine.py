@@ -354,7 +354,7 @@ def make_pallas_substep(
         fric = fric_ref[0]
         tau_in = [tau_ref[j] for j in range(nj)]
 
-        def one_substep(q_s, qd_s, tau_cur):
+        def one_substep(q_s, qd_s, tau_cur, factor=None):
             bp = q_s[0:3]
             bq = q_s[3:7]
             qj = q_s[7:]
@@ -591,96 +591,101 @@ def make_pallas_substep(
             for j in range(nj):
                 bias[6 + j] = dot3(ja[j], nacc[j + 1])
 
-            # ---------------- CRBA: composites about the base origin O = bp
-            # per-link 10-parameter composite: m, h = m·(com−O), I about O
-            O = pos[0]
-            comp_m = [mass_c[l] for l in range(nl)]
-            comp_h = []
-            comp_I = []
-            for l in range(nl):
-                d = v3sub(com_w[l], O)
-                comp_h.append(v3scale(d, mass_c[l]))
-                dd = dot3(d, d)
-                Il = [[add(Iw[l][a][b],
-                           mul(mass_c[l], sub_(mul(dd if a == b else 0.0, 1.0),
-                                               mul(d[a], d[b]))))
-                       for b in range(3)] for a in range(3)]
-                comp_I.append(Il)
-            for i in range(nl - 1, 0, -1):
-                p = parent[i]
-                comp_m[p] = add(comp_m[p], comp_m[i])
-                comp_h[p] = v3add(comp_h[p], comp_h[i])
-                comp_I[p] = [[add(comp_I[p][a][b], comp_I[i][a][b]) for b in range(3)]
-                             for a in range(3)]
+            # With a reused factor (config.reuse_factor) the frame-start
+            # L replaces this substep's CRBA + factorization entirely.
+            if factor is None:
+                # ---------------- CRBA: composites about the base origin O = bp
+                # per-link 10-parameter composite: m, h = m·(com−O), I about O
+                O = pos[0]
+                comp_m = [mass_c[l] for l in range(nl)]
+                comp_h = []
+                comp_I = []
+                for l in range(nl):
+                    d = v3sub(com_w[l], O)
+                    comp_h.append(v3scale(d, mass_c[l]))
+                    dd = dot3(d, d)
+                    Il = [[add(Iw[l][a][b],
+                               mul(mass_c[l], sub_(mul(dd if a == b else 0.0, 1.0),
+                                                   mul(d[a], d[b]))))
+                           for b in range(3)] for a in range(3)]
+                    comp_I.append(Il)
+                for i in range(nl - 1, 0, -1):
+                    p = parent[i]
+                    comp_m[p] = add(comp_m[p], comp_m[i])
+                    comp_h[p] = v3add(comp_h[p], comp_h[i])
+                    comp_I[p] = [[add(comp_I[p][a][b], comp_I[i][a][b]) for b in range(3)]
+                                 for a in range(3)]
 
-            def momentum(mc, hc, Ic, w, v):
-                """Spatial momentum (L about O, p) of composite for motion (w, v@O)."""
-                L = tuple(add(dot3(Ic[a], w), cross(hc, v)[a]) for a in range(3))
-                P = tuple(add(v3scale(v, mc)[a], cross(w, hc)[a]) for a in range(3))
-                return L, P
+                def momentum(mc, hc, Ic, w, v):
+                    """Spatial momentum (L about O, p) of composite for motion (w, v@O)."""
+                    L = tuple(add(dot3(Ic[a], w), cross(hc, v)[a]) for a in range(3))
+                    P = tuple(add(v3scale(v, mc)[a], cross(w, hc)[a]) for a in range(3))
+                    return L, P
 
-            # joint motion axes about O
-            S = []
-            for j in range(nj):
-                S.append((ja[j], cross(ja[j], v3sub(O, jp[j]))))
-            # F (momenta) for joints (their own composite) and base axes (total)
-            Fj = []
-            for j in range(nj):
-                l = j + 1
-                Fj.append(momentum(comp_m[l], comp_h[l], comp_I[l], S[j][0], S[j][1]))
-            e = [(1.0, 0.0, 0.0), (0.0, 1.0, 0.0), (0.0, 0.0, 1.0)]
-            Fb = []
-            for k in range(3):   # base linear axes: w=0, v=e_k
-                Fb.append(momentum(comp_m[0], comp_h[0], comp_I[0], (0.0, 0.0, 0.0), e[k]))
-            for k in range(3):   # base angular axes: w=e_k, v=0
-                Fb.append(momentum(comp_m[0], comp_h[0], comp_I[0], e[k], (0.0, 0.0, 0.0)))
+                # joint motion axes about O
+                S = []
+                for j in range(nj):
+                    S.append((ja[j], cross(ja[j], v3sub(O, jp[j]))))
+                # F (momenta) for joints (their own composite) and base axes (total)
+                Fj = []
+                for j in range(nj):
+                    l = j + 1
+                    Fj.append(momentum(comp_m[l], comp_h[l], comp_I[l], S[j][0], S[j][1]))
+                e = [(1.0, 0.0, 0.0), (0.0, 1.0, 0.0), (0.0, 0.0, 1.0)]
+                Fb = []
+                for k in range(3):   # base linear axes: w=0, v=e_k
+                    Fb.append(momentum(comp_m[0], comp_h[0], comp_I[0], (0.0, 0.0, 0.0), e[k]))
+                for k in range(3):   # base angular axes: w=e_k, v=0
+                    Fb.append(momentum(comp_m[0], comp_h[0], comp_I[0], e[k], (0.0, 0.0, 0.0)))
 
-            def pair(Sa, Fb_):
-                Lb, Pb = Fb_
-                return add(dot3(Sa[0], Lb), dot3(Sa[1], Pb))
+                def pair(Sa, Fb_):
+                    Lb, Pb = Fb_
+                    return add(dot3(Sa[0], Lb), dot3(Sa[1], Pb))
 
-            M = {}
-            base_S = [((0.0, 0.0, 0.0), e[k]) for k in range(3)] + [
-                (e[k], (0.0, 0.0, 0.0)) for k in range(3)
-            ]
-            for a in range(6):
-                for b2 in range(a, 6):
-                    M[(b2, a)] = pair(base_S[a], Fb[b2])
-            for j in range(nj):
-                col = 6 + j
-                M[(col, col)] = add(pair(S[j], Fj[j]), float(joint_diag[j]))
-                # ancestors of joint j (joints on path of link j+1) + base rows
-                for k in range(nj):
-                    if k != j and anc[j + 1][k]:   # k is ancestor of j
-                        lo, hi = (k, j) if k < j else (j, k)
-                        M[(6 + hi, 6 + lo)] = pair(S[lo], Fj[hi])
+                M = {}
+                base_S = [((0.0, 0.0, 0.0), e[k]) for k in range(3)] + [
+                    (e[k], (0.0, 0.0, 0.0)) for k in range(3)
+                ]
                 for a in range(6):
-                    M[(col, a)] = pair(base_S[a], Fj[j])
+                    for b2 in range(a, 6):
+                        M[(b2, a)] = pair(base_S[a], Fb[b2])
+                for j in range(nj):
+                    col = 6 + j
+                    M[(col, col)] = add(pair(S[j], Fj[j]), float(joint_diag[j]))
+                    # ancestors of joint j (joints on path of link j+1) + base rows
+                    for k in range(nj):
+                        if k != j and anc[j + 1][k]:   # k is ancestor of j
+                            lo, hi = (k, j) if k < j else (j, k)
+                            M[(6 + hi, 6 + lo)] = pair(S[lo], Fj[hi])
+                    for a in range(6):
+                        M[(col, a)] = pair(base_S[a], Fj[j])
 
-            def Mget(i2, j2):
-                if i2 < j2:
-                    i2, j2 = j2, i2
-                return M.get((i2, j2), 0.0)
+                def Mget(i2, j2):
+                    if i2 < j2:
+                        i2, j2 = j2, i2
+                    return M.get((i2, j2), 0.0)
 
-            # ---------------- Cholesky, column-vector form: L cols (nv,8,128)
-            zero_tile = jnp.zeros(SUB, dtype=jnp.float32)
+                # ---------------- Cholesky, column-vector form: L cols (nv,8,128)
+                zero_tile = jnp.zeros(SUB, dtype=jnp.float32)
 
-            def col_of_M(j2):
-                vals = []
-                for i2 in range(nv):
-                    v = Mget(i2, j2) if i2 >= j2 else 0.0
-                    vals.append(jnp.broadcast_to(jnp.asarray(v, jnp.float32), SUB) if _isf(v) else v)
-                return jnp.stack(vals)          # (nv, 8, 128)
+                def col_of_M(j2):
+                    vals = []
+                    for i2 in range(nv):
+                        v = Mget(i2, j2) if i2 >= j2 else 0.0
+                        vals.append(jnp.broadcast_to(jnp.asarray(v, jnp.float32), SUB) if _isf(v) else v)
+                    return jnp.stack(vals)          # (nv, 8, 128)
 
-            Lc = []       # list of (nv, 8, 128) columns
-            Ld_inv = []   # per-column reciprocal of the diagonal
-            for j2 in range(nv):
-                s = col_of_M(j2)
-                for k in range(j2):
-                    s = s - Lc[k] * Lc[k][j2][None]
-                dinv = jax.lax.rsqrt(jnp.maximum(s[j2], 1e-9))
-                Lc.append(s * dinv[None])
-                Ld_inv.append(dinv)
+                Lc = []       # list of (nv, 8, 128) columns
+                Ld_inv = []   # per-column reciprocal of the diagonal
+                for j2 in range(nv):
+                    s = col_of_M(j2)
+                    for k in range(j2):
+                        s = s - Lc[k] * Lc[k][j2][None]
+                    dinv = jax.lax.rsqrt(jnp.maximum(s[j2], 1e-9))
+                    Lc.append(s * dinv[None])
+                    Ld_inv.append(dinv)
+            else:
+                Lc, Ld_inv = factor
 
             def fwd_subst(b_list):
                 """Solve L y = b for b given as list of nv tiles → list."""
@@ -938,7 +943,7 @@ def make_pallas_substep(
             q_out = list(bp_n) + list(bq_n) + qj_n
             qd_out = [qd_n[k] for k in range(6)] + qdj_n
             nimp = [lam[ne + nlim + 3 * s] for s in range(ns)]
-            return q_out, qd_out, depth, nimp
+            return q_out, qd_out, depth, nimp, (Lc, Ld_inv)
 
         q_s = [q_ref[c] for c in range(nq)]
         qd_s = [qd_ref[c] for c in range(nv)]
@@ -953,20 +958,41 @@ def make_pallas_substep(
                 for j in range(nj)
             ]
 
+        reuse = bool(config.reuse_factor) and n_sub > 1
         if n_llc == 1 and n_sub == 1:
-            q_s, qd_s, depth, nimp = one_substep(q_s, qd_s, tau_of(q_s))
+            q_s, qd_s, depth, nimp, _f = one_substep(q_s, qd_s, tau_of(q_s))
         else:
             # nested fori loops: llc frames (tau refresh) × substeps —
-            # kernel body traced ONCE per loop level
+            # kernel body traced ONCE per loop level (twice with reuse: the
+            # frame's first substep factorizes, the fori'd rest reuse)
             zt = jnp.zeros(SUB, dtype=jnp.float32)
 
             def llc_body(_, carry):
                 q_c, qd_c, _d, _n = carry
                 tau_cur = tau_of(list(q_c))
 
+                if reuse:
+                    q1, qd1, d1, n1, fac = one_substep(
+                        list(q_c), list(qd_c), tau_cur
+                    )
+
+                    def sub_body_r(_, c2):
+                        q2, qd2, _d2, _n2 = c2
+                        q_n, qd_n, d_n, n_n, _f2 = one_substep(
+                            list(q2), list(qd2), tau_cur, factor=fac
+                        )
+                        return tuple(q_n), tuple(qd_n), tuple(d_n), tuple(n_n)
+
+                    return jax.lax.fori_loop(
+                        0, n_sub - 1, sub_body_r,
+                        (tuple(q1), tuple(qd1), tuple(d1), tuple(n1)),
+                    )
+
                 def sub_body(_, c2):
                     q2, qd2, _d2, _n2 = c2
-                    q_n, qd_n, d_n, n_n = one_substep(list(q2), list(qd2), tau_cur)
+                    q_n, qd_n, d_n, n_n, _f2 = one_substep(
+                        list(q2), list(qd2), tau_cur
+                    )
                     return tuple(q_n), tuple(qd_n), tuple(d_n), tuple(n_n)
 
                 return jax.lax.fori_loop(

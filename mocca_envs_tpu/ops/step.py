@@ -156,7 +156,23 @@ def make_substep(
             -(config.baumgarte / dt) * err, -config.max_push_vel, config.max_push_vel
         )
 
-    def substep(q, qd, tau_joint, scene: Scene, grab_active=None, grab_target=None):
+    def minv_of(fd):
+        """Explicit inverse inertia for a configuration — the factor that
+        ``config.reuse_factor`` holds fixed across a frame's substeps."""
+        from mocca_envs_tpu.ops import linalg
+        from mocca_envs_tpu.ops.dynamics import mass_matrix
+
+        M = mass_matrix(model, fd)
+        joint_diag = dt * (damping + dt * model.stiffness)
+        extra = (
+            jnp.concatenate([jnp.zeros(6, dtype=M.dtype), joint_diag])
+            if model.floating
+            else joint_diag
+        )
+        return linalg.chol_inverse(linalg.chol_factor(M + jnp.diag(extra)))
+
+    def substep(q, qd, tau_joint, scene: Scene, grab_active=None,
+                grab_target=None, Minv_in=None):
         fd = forward_kinematics(model, q, qd)
         contacts = collide_mod.collide(model, fd, scene, config.contact_margin)
 
@@ -170,11 +186,17 @@ def make_substep(
         else:
             tau = tau_j
 
-        # implicit spring/damper diagonal (see dynamics.forward_dynamics)
-        joint_diag = dt * (damping + dt * model.stiffness)
-        qdd_free, Minv = forward_dynamics(
-            model, fd, qd, tau, gravity, joint_diag=joint_diag
-        )
+        if Minv_in is None:
+            # implicit spring/damper diagonal (see dynamics.forward_dynamics)
+            joint_diag = dt * (damping + dt * model.stiffness)
+            qdd_free, Minv = forward_dynamics(
+                model, fd, qd, tau, gravity, joint_diag=joint_diag
+            )
+        else:
+            from mocca_envs_tpu.ops.dynamics import bias_forces
+
+            Minv = Minv_in
+            qdd_free = Minv @ (tau - bias_forces(model, fd, qd, gravity))
         v_free = qd + dt * qdd_free
 
         # ---------------- constraint rows (static layout: equality | contacts)
@@ -283,6 +305,7 @@ def make_substep(
         )
         return q_new, qd_new, info
 
+    substep.minv_of = minv_of
     return substep
 
 
@@ -360,9 +383,19 @@ def _make_llc_unit(model: RobotModel, config: EngineConfig, substep,
             else:
                 tau_j = tau_or_targets
 
+            # frame-start factor, held fixed for this frame's substeps when
+            # reuse_factor is on (matches the fused kernel's approximation)
+            Minv0 = (
+                substep.minv_of(forward_kinematics(model, q, qd))
+                if (config.reuse_factor and config.sim_substeps > 1)
+                else None
+            )
+
             def sim(carry, _):
                 q, qd = carry
-                q, qd, info = substep(q, qd, tau_j, scene, grab_active, grab_target)
+                q, qd, info = substep(
+                    q, qd, tau_j, scene, grab_active, grab_target, Minv_in=Minv0
+                )
                 return (q, qd), info
 
             (q, qd), infos = jax.lax.scan(

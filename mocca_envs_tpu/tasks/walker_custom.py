@@ -98,6 +98,7 @@ def make_walker3d_custom(
     initial_z: float | None = None,
     constraints=None,
     terminal_link_names: tuple | None = None,
+    pd_control: bool = False,
 ):
     """Build the FnEnv for walk-to-target on flat ground.
 
@@ -119,13 +120,29 @@ def make_walker3d_custom(
             model.link_names.index(n) for n in terminal_link_names
         )
 
-    def actuation(q, qd, a):
-        # behavior B2 with dynamic global power scale from params
-        return params.power * model.power_coef * model.actuated * jnp.clip(a, -1.0, 1.0)
+    if pd_control:
+        # PD-servoed variant (BASELINE config 2's "flat terrain, PD control"
+        # bench wording): actions are joint-angle targets in the limit range,
+        # τ = k_p·(target − q) with the derivative gain handled implicitly
+        # (extra_damping — see make_substep). Gains scale with the torque
+        # variant's power_coef so both variants saturate comparably [K-med].
+        mid = 0.5 * (model.limit_lo + model.limit_hi)
+        amp = 0.5 * (model.limit_hi - model.limit_lo)
+        kp = model.power_coef * jnp.where(model.actuated > 0, 1.0, 0.0)
+        model = model.replace(kp=kp)
+        control = make_control_step(
+            model, config, constraints=constraints,
+            pd_targets=lambda a: mid + amp * jnp.clip(a, -1.0, 1.0),
+            extra_damping=kp / 20.0,
+        )
+    else:
+        def actuation(q, qd, a):
+            # behavior B2 with dynamic global power scale from params
+            return params.power * model.power_coef * model.actuated * jnp.clip(a, -1.0, 1.0)
 
-    control = make_control_step(
-        model, config, constraints=constraints, actuation=actuation
-    )
+        control = make_control_step(
+            model, config, constraints=constraints, actuation=actuation
+        )
     obs_dim = _obs_dim(model)
     nfeet = len(model.foot_links)
 

@@ -42,6 +42,13 @@ class EngineConfig:
     # sweep (ops/solver.pgs_solve block mode) — same fixed point as row PGS,
     # faster convergence, so fewer solver_iters buy equal accuracy.
     block_pgs: bool = False
+    # Reuse the mass-matrix Cholesky factor across the sim_substeps of one
+    # llc frame (computed from the frame-start configuration). The inertia
+    # matrix drifts O(|q̇|·dt) within a frame — negligible at Cassie's
+    # 600 Hz × 2 substeps — while CRBA + factorization are a large share of
+    # substep cost. Applied identically by the JAX oracle and the fused
+    # kernel (parity-gated in tests/test_pallas_engine.py).
+    reuse_factor: bool = False
     limit_margin: float = 0.15      # joint-limit rows activate within [rad|m]
     gravity: tuple = (0.0, 0.0, -9.8)  # pybullet default, SURVEY.md §2.3
     # Use the fused Pallas substep kernel (ops/pallas/engine.py) when the

@@ -342,3 +342,52 @@ def test_pallas_block_pgs_matches_jax_substep():
     np.testing.assert_allclose(np.asarray(q_p), np.asarray(q_j), atol=2e-4)
     np.testing.assert_allclose(np.asarray(qd_p), np.asarray(qd_j), atol=5e-3)
     np.testing.assert_allclose(np.asarray(nimp_p), np.asarray(nimp_j), atol=5e-3)
+
+
+@pytest.mark.slow
+def test_pallas_reuse_factor_matches_jax_substep():
+    """EngineConfig.reuse_factor: both paths hold the frame-start Cholesky
+    factor fixed across a frame's substeps — and must agree with each other
+    (the approximation is defined identically, so gates stay tight)."""
+    cfg = EngineConfig(sim_substeps=2, solver_iters=8, reuse_factor=True)
+    model = hopper()
+    B = TILE
+    q, qd = _random_states(model, B, jax.random.key(31))
+    tau = 0.5 * jax.random.normal(jax.random.key(32), (B, model.nj))
+    gz = jnp.zeros(B)
+    fric = jnp.full((B,), 0.8)
+
+    pal = make_pallas_substep(model, cfg, interpret=True)
+    q_p, qd_p, depth_p, nimp_p = pal(q, qd, tau, gz, fric)
+
+    sub = make_substep(model, cfg)
+    scene = scene_mod.flat()
+
+    from mocca_envs_tpu.ops.kinematics import forward_kinematics
+
+    def jax_path(q1, qd1, t1):
+        qq, dd = q1, qd1
+        Minv0 = sub.minv_of(forward_kinematics(model, qq, dd))
+        for _ in range(cfg.sim_substeps):
+            qq, dd, info = sub(qq, dd, t1, scene, Minv_in=Minv0)
+        return qq, dd, info.contacts.depth, info.normal_impulse
+
+    q_j, qd_j, depth_j, nimp_j = jax.vmap(jax_path)(q, qd, tau)
+
+    np.testing.assert_allclose(np.asarray(q_p), np.asarray(q_j), atol=2e-4)
+    np.testing.assert_allclose(np.asarray(qd_p), np.asarray(qd_j), atol=5e-3)
+    np.testing.assert_allclose(np.asarray(nimp_p), np.asarray(nimp_j), atol=5e-3)
+
+    # the approximation itself stays small over a frame: compare against the
+    # exact per-substep factorization on the same inputs
+    sub_exact = make_substep(model, EngineConfig(sim_substeps=2, solver_iters=8))
+
+    def exact_path(q1, qd1, t1):
+        qq, dd = q1, qd1
+        for _ in range(cfg.sim_substeps):
+            qq, dd, _ = sub_exact(qq, dd, t1, scene)
+        return qq, dd
+
+    q_e, qd_e = jax.vmap(exact_path)(q, qd, tau)
+    assert float(jnp.mean(jnp.abs(q_j - q_e))) < 5e-4
+    assert float(jnp.mean(jnp.abs(qd_j - qd_e))) < 5e-2

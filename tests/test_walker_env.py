@@ -117,3 +117,19 @@ def test_gym_wrapper_api(env):
     assert "progress" in info
     state_view = g.render()
     assert state_view["q"].shape == (7 + 21,)
+
+
+def test_pd_walker_variant_steps_and_holds():
+    """Walker3DPDCustomEnv (BASELINE config 2 'PD control' bench variant):
+    actions are joint targets; a zero action (mid-range targets) keeps the
+    robot upright and finite for a second of sim time."""
+    import mocca_envs_tpu
+
+    env = mocca_envs_tpu.make("Walker3DPDCustomEnv")
+    state = env.init(jax.random.key(3))
+    step = jax.jit(env.step)
+    for _ in range(60):
+        tr = step(state, jnp.zeros(env.act_dim))
+        state = tr.state
+    assert bool(jnp.all(jnp.isfinite(state.q)))
+    assert float(state.q[2]) > 0.6

@@ -19,6 +19,7 @@ from mocca_envs_tpu.harness.transfer import embed_pytree, transfer_train_state
 CFG = PPOConfig(horizon=4, num_epochs=1, num_minibatches=1, hidden=(32, 32))
 
 
+@pytest.mark.slow
 def test_transfer_embeds_walker_into_stepper():
     walker = mocca_envs_tpu.make("Walker3DCustomEnv")
     stepper = mocca_envs_tpu.make("Walker3DStepperEnv")
@@ -57,6 +58,7 @@ def test_embed_rejects_shrinking():
         embed_pytree(jnp.zeros((4, 3)), jnp.zeros((2, 3)))
 
 
+@pytest.mark.slow
 def test_per_env_curriculum_advances_on_chain_completion():
     """An env whose episode reached ≥ adv_threshold stones advances ITS OWN
     stage at auto-reset; others keep theirs (per-env, in-graph — no trainer
@@ -86,6 +88,7 @@ def test_per_env_curriculum_advances_on_chain_completion():
     assert np.asarray(tr2.state.task.stage)[0] == 1.0
 
 
+@pytest.mark.slow
 def test_mirror_loss_trains_and_symmetrizes():
     """mirror_coef > 0 must build, run, and actually pull the policy toward
     left/right symmetry (loss measurably below the coef=0 baseline after a

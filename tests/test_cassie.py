@@ -37,6 +37,7 @@ def test_model_structure():
     assert float(jnp.max(model.stiffness)) >= 1000.0  # leaf springs present
 
 
+@pytest.mark.slow
 def test_stand_pd_keeps_robot_up(env):
     """Zero action = hold stand pose; PD + springs + rods must stabilize for
     at least a second of sim time."""
@@ -49,6 +50,7 @@ def test_stand_pd_keeps_robot_up(env):
     assert float(state.q[2]) > 0.65, float(state.q[2])
 
 
+@pytest.mark.slow
 def test_rod_constraint_stays_closed(env):
     model = cassie.make_model()
     spec = cassie.constraints()
@@ -75,6 +77,7 @@ def test_springs_resist_deflection():
     assert float(tau) < -100.0
 
 
+@pytest.mark.slow
 def test_cassie2d_stays_planar():
     env2d = mocca_envs_tpu.make("Cassie2DEnv")
     state = env2d.init(jax.random.key(2))

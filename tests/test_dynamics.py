@@ -80,6 +80,7 @@ def _potential(q):
     return G * (M1 * c1[2] + M2 * c2[2])
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("seed", [0, 1, 2])
 def test_double_pendulum_vs_lagrangian(seed):
     model = double_pendulum(M1, M2, L1, LC1, LC2, I1, I2)
@@ -184,6 +185,7 @@ def test_jit_equals_eager():
     np.testing.assert_allclose(jax.jit(f)(q, qd), f(q, qd), rtol=1e-5, atol=1e-6)
 
 
+@pytest.mark.slow
 def test_airborne_com_free_falls_under_internal_torques():
     """Momentum-conservation regression (the "flying walker" bug).
 

@@ -39,6 +39,7 @@ def _run(step, state, acts, n):
     return state, frames
 
 
+@pytest.mark.slow
 def test_nan_injection_recovers_and_isolates(setup):
     env, state0, step, acts = setup
 

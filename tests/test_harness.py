@@ -85,6 +85,7 @@ def test_pybullet_recorder_module_imports_clean():
 
 
 # ------------------------------------------------------------------ PPO
+@pytest.mark.slow
 def test_ppo_single_device_update(env):
     cfg = PPOConfig(horizon=8, num_epochs=1, num_minibatches=2, hidden=(32, 32))
     learner = PPOLearner(env, cfg, mesh=None, num_envs=16)
@@ -97,6 +98,7 @@ def test_ppo_single_device_update(env):
     assert not np.allclose(p0, p1)  # the update actually moved params
 
 
+@pytest.mark.slow
 def test_ppo_sharded_update_matches_devices(env):
     mesh = env_mesh()
     assert mesh.size == 8  # conftest forces 8 virtual cpu devices
@@ -111,6 +113,7 @@ def test_ppo_sharded_update_matches_devices(env):
 
 
 # ------------------------------------------------------------------ sharding
+@pytest.mark.slow
 def test_sharded_env_step_matches_unsharded(env):
     mesh = env_mesh()
     B = 16
@@ -141,6 +144,7 @@ def test_shard_mapped_env_runs(env):
 
 
 # ------------------------------------------------------------------ ckpt
+@pytest.mark.slow
 def test_checkpoint_roundtrip(env, tmp_path):
     cfg = PPOConfig(horizon=4, num_epochs=1, num_minibatches=1, hidden=(16, 16))
     learner = PPOLearner(env, cfg, mesh=None, num_envs=8)

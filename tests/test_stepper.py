@@ -71,6 +71,7 @@ def test_stepper_reset_on_first_stone(env):
     assert float(obs[-6]) > 0.0
 
 
+@pytest.mark.slow
 def test_stepper_steps_and_stays_finite(env):
     state = env.init(jax.random.key(2))
     step = jax.jit(env.step)

@@ -83,6 +83,7 @@ def test_auto_reset_restarts_episode(env):
     assert float(state.q[2]) > 0.8
 
 
+@pytest.mark.slow
 def test_batched_env_steps(env):
     batch = BatchedEnv(env, num_envs=8, seed=0)
     state = batch.init()
@@ -94,6 +95,7 @@ def test_batched_env_steps(env):
     assert not np.allclose(tr.state.task.target[0], tr.state.task.target[1])
 
 
+@pytest.mark.slow
 def test_vmap_matches_single(env):
     keys = jax.vmap(lambda i: jax.random.fold_in(jax.random.key(0), i))(
         jnp.arange(3)
@@ -119,6 +121,7 @@ def test_gym_wrapper_api(env):
     assert state_view["q"].shape == (7 + 21,)
 
 
+@pytest.mark.slow
 def test_pd_walker_variant_steps_and_holds():
     """Walker3DPDCustomEnv (BASELINE config 2 'PD control' bench variant):
     actions are joint targets; a zero action (mid-range targets) keeps the

@@ -40,8 +40,10 @@ def parse_args(argv=None):
     p.add_argument("--log-every", type=int, default=5)
     p.add_argument("--profile-dir", default=None)
     p.add_argument(
-        "--curriculum-threshold", type=float, default=4.0,
-        help="advance stepper curriculum when mean steps_reached exceeds this",
+        "--curriculum-threshold", type=float, default=None,
+        help="HOST-side batch-mean curriculum advance (legacy). Stepper "
+        "families advance per-env IN-GRAPH by default (ALLSTEPS adaptive "
+        "curriculum — StepperParams.adv_threshold); leave unset for that.",
     )
     p.add_argument("--no-mesh", action="store_true")
     # ALLSTEPS transfer: warm-start from a checkpoint trained on another
@@ -52,6 +54,15 @@ def parse_args(argv=None):
                    help="env ID the --init-from checkpoint was trained on")
     p.add_argument("--mirror-coef", type=float, default=0.0,
                    help="ALLSTEPS mirror-symmetry loss weight (0 = off)")
+    p.add_argument("--log-std-min", type=float, default=-2.0,
+                   help="exploration floor on the policy log-std "
+                   "(-1.0 during pretrain keeps the standing local optimum "
+                   "unstable — see BENCH.md ALLSTEPS notes)")
+    p.add_argument("--reward-scale", type=float, default=1.0,
+                   help="learner-side reward scaling (0.1 for walker families)")
+    p.add_argument("--reset-log-std", type=float, default=None,
+                   help="re-open exploration at --init-from transfer by "
+                   "resetting the policy log-std to this value")
     # multi-host (BASELINE config 5: N≥2 hosts feed one PPO learner).
     # With no flags and a TPU-pod environment, jax.distributed autodetects.
     p.add_argument("--multihost", action="store_true",
@@ -106,6 +117,8 @@ def main(argv=None):
         num_minibatches=args.minibatches,
         lr=args.lr,
         mirror_coef=args.mirror_coef,
+        log_std_min=args.log_std_min,
+        reward_scale=args.reward_scale,
     )
     learner = PPOLearner(env, cfg, mesh=mesh, num_envs=args.num_envs)
     state = learner.init(seed=args.seed)
@@ -125,7 +138,9 @@ def main(argv=None):
         src_state = CheckpointManager(args.init_from).restore(
             src_learner.init(seed=args.seed)
         )
-        state = transfer_train_state(src_state, state)
+        state = transfer_train_state(
+            src_state, state, reset_log_std=args.reset_log_std
+        )
         logging.info(
             "transferred pretrained policy from %s (%s)",
             args.init_from, src_env.name,
@@ -155,6 +170,10 @@ def main(argv=None):
         task = getattr(state.env_state, "task", None)
         if task is None or not hasattr(task, "stage"):
             return state, None
+        if args.curriculum_threshold is None:
+            # per-env in-graph advance (StepperParams.adv_threshold) is the
+            # default; just report the current mean stage
+            return state, float(task.stage.mean())
         reached = metrics.get("steps_reached")
         if reached is None or float(reached) < args.curriculum_threshold:
             return state, float(task.stage.mean())

@@ -121,8 +121,12 @@ def test_env_level_curriculum_no_recompile_and_survives_reset():
     step = jax.jit(env.step)
     state = env.init(jax.random.key(11))
     assert float(state.task.stage) == 0.0
-    state = set_stage(state, 9)
+    # warm the compile at stage 0 FIRST so the cache gate below measures
+    # only what the stage change adds (the registry shares env objects, so
+    # without this the snapshot depends on which tests ran earlier)
+    state = step(state, jnp.zeros(env.act_dim)).state
     before = step._cache_size()
+    state = set_stage(state, 9)
     # force episode end via many steps with violent actions
     flat0 = float(jnp.std(state.task.stone_top[:, 2]))
     done_seen = False

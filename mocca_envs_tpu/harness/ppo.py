@@ -365,6 +365,19 @@ class PPOLearner:
                 "entropy": entropy,
                 "adv_std": adv_std,
             }
+            if traj.env_metrics is not None:
+                # env metric channels (SURVEY.md §5.5): batch means plus
+                # done-masked episode-END means — the honest per-episode
+                # statistic (e.g. ALLSTEPS "stones reached per episode"
+                # rather than a mid-episode snapshot)
+                dmask = traj.done.astype(jnp.float32)
+                drate = pmean(jnp.mean(dmask))
+                for k, v in traj.env_metrics.items():
+                    v = v.astype(jnp.float32)
+                    metrics["env/" + k] = pmean(jnp.mean(v))
+                    metrics["ep_end/" + k] = pmean(
+                        jnp.mean(v * dmask)
+                    ) / jnp.maximum(drate, 1e-9)
             return params, opt_state, new_norm, env_state, obs, key, metrics
 
         if self.mesh is None:

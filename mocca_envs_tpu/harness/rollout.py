@@ -9,7 +9,7 @@ scans + host offload of trajectory slices.
 
 from __future__ import annotations
 
-from typing import Callable
+from typing import Any, Callable
 
 import jax
 import jax.numpy as jnp
@@ -28,6 +28,9 @@ class Trajectory(struct.PyTreeNode):
     reward: jnp.ndarray     # (T, B)
     done: jnp.ndarray       # (T, B)
     last_obs: jnp.ndarray   # (B, obs_dim) for bootstrap
+    # per-step env metric scalars, {name: (T, B)} — surfaced by the learner
+    # as batch means and done-masked episode-end means (SURVEY.md §5.5)
+    env_metrics: Any = None
 
 
 def make_batched_rollout(
@@ -49,15 +52,16 @@ def make_batched_rollout(
             key, ka = jax.random.split(key)
             action, log_prob, value = policy(params, obs, ka)
             tr = step(env_state, action)
-            out = (obs, action, log_prob, value, tr.reward, tr.done)
+            out = (obs, action, log_prob, value, tr.reward, tr.done, tr.metrics)
             return (tr.state, tr.obs, key), out
 
         (env_state, obs, key), outs = jax.lax.scan(
             body, (env_state, obs, key), None, length=horizon
         )
-        o, a, lp, v, r, d = outs
+        o, a, lp, v, r, d, m = outs
         traj = Trajectory(
-            obs=o, action=a, log_prob=lp, value=v, reward=r, done=d, last_obs=obs
+            obs=o, action=a, log_prob=lp, value=v, reward=r, done=d,
+            last_obs=obs, env_metrics=m,
         )
         return env_state, obs, key, traj
 

@@ -167,3 +167,15 @@ def test_log_std_floor_bounds_entropy():
     act_dim = walker.act_dim
     expected = act_dim * (-1.0 + 0.5 * np.log(2 * np.pi * np.e))
     np.testing.assert_allclose(float(metrics["entropy"]), expected, atol=1e-3)
+
+
+def test_env_metrics_surface_in_train_metrics():
+    """Env metric channels ride the rollout into learner metrics: batch
+    means (env/) and done-masked episode-end means (ep_end/)."""
+    stepper = mocca_envs_tpu.make("Walker3DStepperEnv")
+    learner = PPOLearner(stepper, CFG, num_envs=4)
+    state = learner.init(seed=0)
+    state, m = learner.train_step(state)
+    assert "env/steps_reached" in m and "ep_end/steps_reached" in m
+    assert np.isfinite(float(m["env/steps_reached"]))
+    assert float(m["env/steps_reached"]) >= 1.0  # next_step starts at 1

@@ -150,70 +150,116 @@ for env_id, tag, updates, extra in (
 # ---------------- C: episode-end stepper evaluation (ALLSTEPS metric).
 # mean_steps_reached in the training logs is an instantaneous snapshot of
 # envs mid-episode; the paper's metric is stones reached per EPISODE. Replay
-# the final stepper policy and histogram next_step at done events.
-try:
-    import numpy as np
+# the stepper policy and histogram next_step at done events.
+import numpy as np
 
-    from mocca_envs_tpu.harness.checkpoint import CheckpointManager
-    from mocca_envs_tpu.harness.transfer import transfer_train_state  # noqa: F401
-    from mocca_envs_tpu.tasks.walker_stepper import StepperParams
+from mocca_envs_tpu.harness.checkpoint import CheckpointManager
+from mocca_envs_tpu.harness.transfer import transfer_train_state  # noqa: F401
+from mocca_envs_tpu.tasks.walker_stepper import StepperParams
 
-    sp = StepperParams.default().replace(adv_threshold=jnp.asarray(8.0, jnp.float32))
-    stepper = mocca_envs_tpu.make("Walker3DStepperEnv-v0", params=sp)
-    cfg_s = dataclasses.replace(CFG, mirror_coef=4.0)
-    learner = PPOLearner(stepper, cfg_s, num_envs=NUM_ENVS)
+SP = StepperParams.default().replace(adv_threshold=jnp.asarray(8.0, jnp.float32))
+STEPPER = mocca_envs_tpu.make("Walker3DStepperEnv-v0", params=SP)
+
+
+def eval_stepper(state, learner, tag):
+    params, norm = state.params, state.obs_norm
+    net = learner.net
+    env_state = state.env_state
+
+    @jax.jit
+    def eval_step(s, key):
+        obs = jax.vmap(STEPPER.obs_fn)(s)
+        o = jnp.clip((obs - norm.mean) / jnp.sqrt(norm.var + 1e-8), -10.0, 10.0)
+        mean, log_std, _v = net.apply(params, o)
+        log_std = jnp.maximum(log_std, -2.0)
+        a = mean + jnp.exp(log_std) * jax.random.normal(key, mean.shape)
+        pre_next = s.task.next_step
+        tr = jax.vmap(STEPPER.step)(s, a)
+        return tr.state, tr.done, pre_next, s.task.stage
+
+    key = jax.random.key(123)
+    done_steps, done_stage = [], []
+    for t in range(600):
+        key, ka = jax.random.split(key)
+        env_state, done, pre_next, stage = eval_step(env_state, ka)
+        d = np.asarray(done)
+        if d.any():
+            done_steps.append(np.asarray(pre_next)[d])
+            done_stage.append(np.asarray(stage)[d])
+    ds = np.concatenate(done_steps) if done_steps else np.zeros(1)
+    dg = np.concatenate(done_stage) if done_stage else np.zeros(1)
+    emit(
+        phase=tag, episodes=int(ds.size),
+        ep_end_steps_mean=round(float(ds.mean()), 2),
+        ep_end_steps_p50=float(np.percentile(ds, 50)),
+        ep_end_steps_p90=float(np.percentile(ds, 90)),
+        frac_ge_4=round(float((ds >= 4).mean()), 3),
+        frac_ge_8=round(float((ds >= 8).mean()), 3),
+        stage_mean=round(float(dg.mean()), 2),
+        stage_max=float(dg.max()),
+    )
+
+
+def restore_latest(learner, names, tag):
     like = learner.init(seed=0)
-    state = None
-    for ck in ("stepper3_ft", "stepper3"):
+    for ck in names:
         try:
             mgr = CheckpointManager(f"/root/repo/ckpt/{ck}")
             step_no = mgr.latest_step()
             if step_no is not None:
                 state = mgr.restore(like, step_no)
-                emit(phase="eval_stepper", restored=ck, at=step_no)
-                break
+                emit(phase=tag, restored=ck, at=step_no)
+                return state
         except Exception:
             continue
-    if state is not None:
-        params, norm = state.params, state.obs_norm
-        net = learner.net
-        env_state = state.env_state
+    return None
 
-        @jax.jit
-        def eval_step(s, key):
-            obs = jax.vmap(stepper.obs_fn)(s)
-            o = jnp.clip((obs - norm.mean) / jnp.sqrt(norm.var + 1e-8), -10.0, 10.0)
-            mean, log_std, _v = net.apply(params, o)
-            log_std = jnp.maximum(log_std, -2.0)
-            a = mean + jnp.exp(log_std) * jax.random.normal(key, mean.shape)
-            pre_next = s.task.next_step
-            tr = jax.vmap(stepper.step)(s, a)
-            return tr.state, tr.done, pre_next, s.task.stage
 
-        key = jax.random.key(123)
-        done_steps, done_stage = [], []
-        for t in range(600):
-            key, ka = jax.random.split(key)
-            env_state, done, pre_next, stage = eval_step(env_state, ka)
-            d = np.asarray(done)
-            if d.any():
-                done_steps.append(np.asarray(pre_next)[d])
-                done_stage.append(np.asarray(stage)[d])
-        ds = np.concatenate(done_steps) if done_steps else np.zeros(1)
-        dg = np.concatenate(done_stage) if done_stage else np.zeros(1)
-        emit(
-            phase="eval_stepper", episodes=int(ds.size),
-            ep_end_steps_mean=round(float(ds.mean()), 2),
-            ep_end_steps_p50=float(np.percentile(ds, 50)),
-            ep_end_steps_p90=float(np.percentile(ds, 90)),
-            frac_ge_4=round(float((ds >= 4).mean()), 3),
-            frac_ge_8=round(float((ds >= 8).mean()), 3),
-            stage_mean=round(float(dg.mean()), 2),
-            stage_max=float(dg.max()),
-        )
+cfg_s = dataclasses.replace(CFG, mirror_coef=4.0)
+learner_s = PPOLearner(STEPPER, cfg_s, num_envs=NUM_ENVS)
+try:
+    state0 = restore_latest(learner_s, ("stepper3_ft", "stepper3"), "eval_stepper")
+    if state0 is not None:
+        eval_stepper(state0, learner_s, "eval_stepper")
 except Exception:
     traceback.print_exc()
     emit(phase="eval_stepper", ok=False, error=traceback.format_exc()[-300:])
+
+# ---------------- D: stepper curriculum continuation (push stages higher).
+# Continue from the v3 checkpoint at a tighter exploration floor: stage>2
+# stones need precision, and sigma=0.37 foot placement caps it; -1.5 lets
+# PPO anneal noise while keeping a floor.
+try:
+    cfg_c = dataclasses.replace(CFG, mirror_coef=4.0, log_std_min=-1.5)
+    learner_c = PPOLearner(STEPPER, cfg_c, num_envs=NUM_ENVS)
+    state = restore_latest(learner_c, ("stepper3_ft", "stepper3"), "stepper_cont")
+    if state is not None:
+        mgr = CheckpointManager("/root/repo/ckpt/stepper3_cont", max_to_keep=2)
+        t0 = time.time()
+        for u in range(2500):
+            state, metrics = learner_c.train_step(state)
+            if (u + 1) % 25 == 0 or u == 0:
+                jax.block_until_ready(state.params)
+                m = {k: round(float(v), 4) for k, v in metrics.items()}
+                task = state.env_state.task
+                m["mean_stage"] = round(float(task.stage.mean()), 3)
+                m["max_stage"] = float(task.stage.max())
+                m["env_steps_per_s"] = round(
+                    NUM_ENVS * cfg_c.horizon * (25 if u else 1)
+                    / max(time.time() - t0, 1e-9)
+                )
+                t0 = time.time()
+                emit(phase="stepper_cont", update=u + 1, **m)
+            if (u + 1) % 500 == 0:
+                mgr.save(u + 1, state)
+                mgr.wait()
+        mgr.save(2500, state)
+        mgr.wait()
+        mgr.close()
+        eval_stepper(state, learner_c, "eval_stepper_cont")
+except Exception:
+    traceback.print_exc()
+    emit(phase="stepper_cont", ok=False, error=traceback.format_exc()[-300:])
 
 emit(phase="session_done", wall_s=round(time.time() - T0, 1))
 print(f"ROUND2D SESSION DONE in {time.time()-T0:.0f}s", flush=True)

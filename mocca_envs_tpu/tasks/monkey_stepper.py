@@ -34,8 +34,15 @@ class MonkeyParams(struct.PyTreeNode):
     num_bars: int = struct.field(pytree_node=False, default=16)
     stage: jnp.ndarray = struct.field(default_factory=lambda: jnp.zeros(()))
     max_stage: jnp.ndarray = struct.field(default_factory=lambda: jnp.asarray(9.0))
-    r_lo: jnp.ndarray = struct.field(default_factory=lambda: jnp.asarray(0.55))
-    r_hi_start: jnp.ndarray = struct.field(default_factory=lambda: jnp.asarray(0.65))
+    # bar spacing ramps with stage (like terrain/stones.py): stage-0 bars sit
+    # within DOUBLE-ARM reach (hands on bars k and k+1 can reach k+2 before
+    # releasing — a reach-over gait bootstraps), end stages force ballistic
+    # release-swing-regrasp at the paper's spacings. Run 2c measured a hard
+    # plateau at bar 2 with fixed 0.55–0.65 m spacing: bar 1 is reachable
+    # from the hang, bar 2+ needed a swing no gradient path produced.
+    r_lo_start: jnp.ndarray = struct.field(default_factory=lambda: jnp.asarray(0.35))
+    r_lo_end: jnp.ndarray = struct.field(default_factory=lambda: jnp.asarray(0.55))
+    r_hi_start: jnp.ndarray = struct.field(default_factory=lambda: jnp.asarray(0.45))
     r_hi_end: jnp.ndarray = struct.field(default_factory=lambda: jnp.asarray(1.1))
     yaw_max_end: jnp.ndarray = struct.field(default_factory=lambda: jnp.asarray(20.0 * DEG))
     pitch_max_end: jnp.ndarray = struct.field(default_factory=lambda: jnp.asarray(30.0 * DEG))
@@ -84,15 +91,16 @@ def set_stage(state: EnvState, stage) -> EnvState:
 def _sample_bars(params: MonkeyParams, key: jax.Array):
     K = params.num_bars
     frac = jnp.clip(params.stage / jnp.maximum(params.max_stage, 1.0), 0.0, 1.0)
+    r_lo = params.r_lo_start + frac * (params.r_lo_end - params.r_lo_start)
     r_hi = params.r_hi_start + frac * (params.r_hi_end - params.r_hi_start)
     yaw_max = frac * params.yaw_max_end
     pitch_max = frac * params.pitch_max_end
     ks = jax.random.split(key, 3)
-    r = rng_mod.uniform(ks[0], (K,), params.r_lo, r_hi)
+    r = rng_mod.uniform(ks[0], (K,), r_lo, r_hi)
     dyaw = rng_mod.uniform(ks[1], (K,), -yaw_max, yaw_max)
     pitch = rng_mod.uniform(ks[2], (K,), -pitch_max, pitch_max)
     easy = jnp.arange(K) < 2
-    r = jnp.where(easy, 0.6, r)
+    r = jnp.where(easy, 0.5 * (r_lo + r_hi), r)
     dyaw = jnp.where(easy, 0.0, dyaw)
     pitch = jnp.where(easy, 0.0, pitch)
     heading = jnp.cumsum(dyaw)

@@ -32,7 +32,7 @@ class EngineConfig:
     dt: float = 1.0 / 240.0
     sim_substeps: int = 4
     llc_frames: int = 1
-    solver_iters: int = 12
+    solver_iters: int = 8
     baumgarte: float = 0.2          # ERP-style position correction factor
     slop: float = 2e-3              # penetration allowed before correction [m]
     max_push_vel: float = 1.0       # cap on correction velocity [m/s]
@@ -40,14 +40,19 @@ class EngineConfig:
     contact_margin: float = 0.02    # rows activate within this distance [m]
     # Solve each contact's two friction rows as a coupled 2×2 system per
     # sweep (ops/solver.pgs_solve block mode) — same fixed point as row PGS,
-    # faster convergence, so fewer solver_iters buy equal accuracy.
-    block_pgs: bool = False
+    # faster convergence, so fewer solver_iters buy equal accuracy. Default
+    # ON with solver_iters=8 since round 2d: +20% walker throughput with the
+    # full physics gate suite green (BENCH.md round-2 table).
+    block_pgs: bool = True
     # Reuse the mass-matrix Cholesky factor across the sim_substeps of one
     # llc frame (computed from the frame-start configuration). The inertia
     # matrix drifts O(|q̇|·dt) within a frame — negligible at Cassie's
     # 600 Hz × 2 substeps — while CRBA + factorization are a large share of
     # substep cost. Applied identically by the JAX oracle and the fused
-    # kernel (parity-gated in tests/test_pallas_engine.py).
+    # kernel (parity-gated in tests/test_pallas_engine.py). Default OFF: on
+    # TPU the carried factor raises VMEM pressure and the extra unrolled
+    # kernel body hurts pipelining more than the skipped CRBA+Cholesky helps
+    # (measured −8% Cassie, −5% walker — BENCH.md round-2 table).
     reuse_factor: bool = False
     limit_margin: float = 0.15      # joint-limit rows activate within [rad|m]
     gravity: tuple = (0.0, 0.0, -9.8)  # pybullet default, SURVEY.md §2.3

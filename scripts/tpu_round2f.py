@@ -62,6 +62,16 @@ from mocca_envs_tpu.tasks.walker_stepper import make_walker3d_stepper
 EVAL_STEPPER = make_walker3d_stepper(
     params=SP.replace(adv_threshold=jnp.asarray(99.0, jnp.float32))
 )
+# Continuation twin with a STONE-dominated reward: the 2d continuation run
+# showed ep_end/steps_reached regressing (2.7 -> 1.5) as entropy annealed —
+# the per-step tall bonus (2.0) made conservative survival outcompete risky
+# stone hits (+6 once). Triple the hit bonus, halve the survival stream.
+CONT_SP = SP.replace(
+    step_bonus=jnp.asarray(18.0, jnp.float32),
+    walker=SP.walker.replace(tall_bonus=jnp.asarray(1.0, jnp.float32)),
+)
+CONT_STEPPER = make_walker3d_stepper(params=CONT_SP)
+CONT_LEARNER = PPOLearner(CONT_STEPPER, CFG, num_envs=NUM_ENVS)
 
 
 def restore_latest(names, tag):
@@ -143,7 +153,7 @@ try:
             emit(phase="cont2", resumed_from=mgr.latest_step())
         t0 = time.time()
         for u in range(2500):
-            state, metrics = LEARNER.train_step(state)
+            state, metrics = CONT_LEARNER.train_step(state)
             if (u + 1) % 50 == 0 or u == 0:
                 jax.block_until_ready(state.params)
                 m = {k: round(float(v), 4) for k, v in metrics.items()

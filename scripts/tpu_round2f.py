@@ -132,7 +132,9 @@ def eval_fixed_stage(state, stage, tag, deterministic=False, steps=900):
 
 
 # ---------------- A: fixed-stage evals of the current best checkpoint
-state = restore_latest(("stepper3_cont", "stepper3_ft", "stepper3"), "evalA")
+# NOT stepper3_cont: the 2d continuation collapsed into stand-on-stone-0
+# (entropy floor + tall-bonus-dominated reward; see BENCH.md) — ft is best
+state = restore_latest(("stepper3_ft", "stepper3"), "evalA")
 if state is not None:
     for stg in (0, 2, 4):
         for det in (False, True):
@@ -145,7 +147,7 @@ if state is not None:
 
 # ---------------- B: continuation-2
 try:
-    state = restore_latest(("stepper3_cont", "stepper3_ft", "stepper3"), "cont2")
+    state = restore_latest(("stepper3_ft", "stepper3"), "cont2")
     if state is not None:
         mgr = CheckpointManager("/root/repo/ckpt/stepper3_cont2", max_to_keep=2)
         if mgr.latest_step() is not None:

@@ -133,6 +133,9 @@ class MixedSuite:
             cat = lambda attr, ax: jnp.concatenate(
                 [getattr(t, attr) for t in trajs], axis=ax
             )
+            # env_metrics stays None: the families' metric dicts have
+            # different keys so they cannot batch-concatenate; per-family
+            # channels are available by training the family alone
             traj = Trajectory(
                 obs=cat("obs", 1), action=cat("action", 1),
                 log_prob=cat("log_prob", 1), value=cat("value", 1),

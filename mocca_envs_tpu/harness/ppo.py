@@ -375,9 +375,13 @@ class PPOLearner:
                 for k, v in traj.env_metrics.items():
                     v = v.astype(jnp.float32)
                     metrics["env/" + k] = pmean(jnp.mean(v))
-                    metrics["ep_end/" + k] = pmean(
-                        jnp.mean(v * dmask)
-                    ) / jnp.maximum(drate, 1e-9)
+                    # NaN (not 0) when the batch contains no episode ends —
+                    # a fabricated 0 would read as "policy scores 0"
+                    metrics["ep_end/" + k] = jnp.where(
+                        drate > 0.0,
+                        pmean(jnp.mean(v * dmask)) / jnp.maximum(drate, 1e-9),
+                        jnp.nan,
+                    )
             return params, opt_state, new_norm, env_state, obs, key, metrics
 
         if self.mesh is None:

@@ -174,7 +174,7 @@ def main(argv=None):
             # per-env in-graph advance (StepperParams.adv_threshold) is the
             # default; just report the current mean stage
             return state, float(task.stage.mean())
-        reached = metrics.get("steps_reached")
+        reached = metrics.get("env/steps_reached", metrics.get("steps_reached"))
         if reached is None or float(reached) < args.curriculum_threshold:
             return state, float(task.stage.mean())
         import jax.numpy as jnp

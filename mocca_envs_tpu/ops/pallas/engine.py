@@ -666,7 +666,6 @@ def make_pallas_substep(
                     return M.get((i2, j2), 0.0)
 
                 # ---------------- Cholesky, column-vector form: L cols (nv,8,128)
-                zero_tile = jnp.zeros(SUB, dtype=jnp.float32)
 
                 def col_of_M(j2):
                     vals = []

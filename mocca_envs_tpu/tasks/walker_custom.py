@@ -135,7 +135,17 @@ def make_walker3d_custom(
             pd_targets=lambda a: mid + amp * jnp.clip(a, -1.0, 1.0),
             extra_damping=kp / 20.0,
         )
+
+        def cost_action(q_new, a):
+            # energy costs must price the PD TORQUE, not the target: a held
+            # nonzero pose at zero tracking error applies ~zero torque.
+            # τ = k_p·(target − q) with k_p = power_coef ⇒ normalized torque
+            # ≈ clip(target − q, ±1) (1 rad of error saturates).
+            tgt = mid + amp * jnp.clip(a, -1.0, 1.0)
+            return jnp.clip(tgt - q_new[7:], -1.0, 1.0)
     else:
+        def cost_action(q_new, a):
+            return a
         def actuation(q, qd, a):
             # behavior B2 with dynamic global power scale from params
             return params.power * model.power_coef * model.actuated * jnp.clip(a, -1.0, 1.0)
@@ -252,7 +262,7 @@ def make_walker3d_custom(
 
         alive = jnp.where(fallen, -params.fall_penalty, params.tall_bonus)
         costs = T.energy_costs(
-            model, action, qd, params.w_electricity, params.w_stall
+            model, cost_action(q, action), qd, params.w_electricity, params.w_stall
         ) + T.joints_at_limit_cost(model, q, params.w_limit)
         reward = (
             progress

@@ -100,9 +100,10 @@ try:
         mean, log_std, _v = net.apply(params, o)
         log_std = jnp.maximum(log_std, -2.0)
         a = mean + jnp.exp(log_std) * jax.random.normal(key, mean.shape)
-        pre = s.task.next_bar
         tr = jax.vmap(MONKEY.step)(s, a)
-        return tr.state, tr.done, pre, s.task.stage
+        # post-step, pre-reset count (raw_step computes metrics before the
+        # auto-reset) — matches the learner's ep_end/ channel semantics
+        return tr.state, tr.done, tr.metrics["bars_reached"], s.task.stage
 
     key = jax.random.key(7)
     done_bars, done_stage = [], []

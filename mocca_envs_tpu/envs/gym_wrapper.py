@@ -98,6 +98,25 @@ class GymEnv:
         if getattr(sc, "has_ground", False):
             gz = float(sc.ground_z)
             ax.axhline(gz, color="k", lw=1)
+        if getattr(sc, "has_stones", False):
+            # x–z side view: stones as (axis-aligned) rectangles at their
+            # centers — orientation is dropped, enough to see the chain
+            pos = np.asarray(sc.stone_pos)
+            half = np.asarray(sc.stone_half)
+            for p, h in zip(pos, half):
+                ax.add_patch(
+                    plt.Rectangle(
+                        (p[0] - h[0], p[2] - h[2]), 2 * h[0], 2 * h[2],
+                        color="tab:gray", alpha=0.8,
+                    )
+                )
+        if getattr(sc, "has_bars", False):
+            a = np.asarray(sc.bar_a)
+            b = np.asarray(sc.bar_b)
+            mid = 0.5 * (a + b)
+            for m, r in zip(mid, np.asarray(sc.bar_r)):
+                ax.add_patch(plt.Circle((m[0], m[2]), max(float(r), 0.02),
+                                        color="tab:brown"))
         ax.set_xlim(base[0] - 1.5, base[0] + 1.5)
         ax.set_ylim(base[2] - 1.5, base[2] + 1.5)
         ax.set_aspect("equal")

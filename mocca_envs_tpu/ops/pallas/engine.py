@@ -260,6 +260,7 @@ def make_pallas_substep(
     cfm = float(config.cfm)
     iters = int(config.solver_iters)
     block_pgs = bool(config.block_pgs)
+    matfree = bool(config.matfree_pgs)
     gx, gy, gz_acc = (float(g) for g in config.gravity)
 
     # ---- host-side constants from the model. NOTE: convert whole arrays to
@@ -823,15 +824,6 @@ def make_pallas_substep(
                     s2 = s2 - Lc[k][i2][None] * W[k]
                 W.append(s2 * Ld_inv[i2][None])
 
-            # A = WᵀW + cfm I : (nr, nr, 8, 128)
-            A = W[0][:, None] * W[0][None, :]
-            for i2 in range(1, nv):
-                A = A + W[i2][:, None] * W[i2][None, :]
-            # cfm regularization on the diagonal via iota (no array consts)
-            ri = jax.lax.broadcasted_iota(jnp.int32, (nr, nr, 1, 1), 0)
-            ci = jax.lax.broadcasted_iota(jnp.int32, (nr, nr, 1, 1), 1)
-            A = A + cfm * (ri == ci).astype(jnp.float32)
-
             # c = J v_free − target
             cvec = []
             for r in range(nr):
@@ -840,75 +832,169 @@ def make_pallas_substep(
                     s2 = madd(s2, Jrows[r][c2], v_free[c2])
                 s2 = sub_(s2, targets[r])
                 cvec.append(s2 if not _isf(s2) else jnp.broadcast_to(jnp.asarray(s2, jnp.float32), SUB))
-            resid0 = jnp.stack(cvec)                      # (nr, 8, 128)
 
-            # ---------------- PGS sweeps (fori over iterations)
-            diag = jnp.maximum(jnp.stack([A[r, r] for r in range(nr)]), 1e-9)
-            # one-hot row selectors — Mosaic has no scatter, so row updates
-            # are arithmetic: lam += onehot_r · Δ. Built in-kernel via iota
-            # (Pallas kernels cannot capture array constants).
-            row_ids = jax.lax.broadcasted_iota(jnp.int32, (nr, 1, 1), 0)
-            onehot = [(row_ids == r).astype(jnp.float32) for r in range(nr)]
+            if matfree:
+                # ------------ matrix-free PGS (config.matfree_pgs): never
+                # form A = WᵀW. Carry λ as nr per-row tiles (python-list
+                # "scatter" — zero vector ops) and z = W·λ as nv tiles; each
+                # row residual on demand: c_r + W_rᵀz + cfm·λ_r. Identical
+                # iteration to the A-form below, ~nv/nr² less setup work.
+                def wdot(r1, r2):
+                    s2 = W[0][r1] * W[0][r2]
+                    for i2 in range(1, nv):
+                        s2 = s2 + W[i2][r1] * W[i2][r2]
+                    return s2
 
-            if block_pgs and ns:
-                # per-contact 2×2 friction-block inverses, precomputed once
-                # (A is constant across sweeps) — mirrors ops/solver.pgs_solve
-                # block mode exactly
-                finv = []
-                for s in range(ns):
-                    t1r = ne + nlim + 3 * s + 1
-                    t2r = t1r + 1
-                    a11 = jnp.maximum(A[t1r, t1r], 1e-9)
-                    a22 = jnp.maximum(A[t2r, t2r], 1e-9)
-                    a12 = A[t1r, t2r]
-                    det = jnp.maximum(a11 * a22 - a12 * a12, 1e-12)
-                    finv.append((a22 / det, a11 / det, -a12 / det))
+                diag = [jnp.maximum(wdot(r, r) + cfm, 1e-9) for r in range(nr)]
+                if block_pgs and ns:
+                    finv = []
+                    for s in range(ns):
+                        t1r = ne + nlim + 3 * s + 1
+                        t2r = t1r + 1
+                        a11 = jnp.maximum(wdot(t1r, t1r) + cfm, 1e-9)
+                        a22 = jnp.maximum(wdot(t2r, t2r) + cfm, 1e-9)
+                        a12 = wdot(t1r, t2r)
+                        det = jnp.maximum(a11 * a22 - a12 * a12, 1e-12)
+                        finv.append((a22 / det, a11 / det, -a12 / det))
 
-            def sweep(_, carry):
-                lam, resid = carry
+                def sweep_mf(_, carry):
+                    lam_t, z_t = carry
+                    lam = list(lam_t)
+                    z = list(z_t)
 
-                def row_update(lam, resid, r, new):
-                    d = new - lam[r]
-                    lam = lam + onehot[r] * d[None]
-                    resid = resid + A[:, r] * d[None]
+                    def row_res(r):
+                        s2 = cvec[r] + cfm * lam[r]
+                        for i2 in range(nv):
+                            s2 = s2 + W[i2][r] * z[i2]
+                        return s2
+
+                    def apply(r, new):
+                        d = new - lam[r]
+                        lam[r] = new
+                        for i2 in range(nv):
+                            z[i2] = z[i2] + W[i2][r] * d
+
+                    for r in range(ne):
+                        apply(r, (lam[r] - row_res(r) / diag[r]) * act_rows[r])
+                    for r in range(ne, ne + nlim):
+                        apply(r, jnp.maximum(0.0, lam[r] - row_res(r) / diag[r])
+                              * act_rows[r])
+                    for s in range(ns):
+                        b0 = ne + nlim + 3 * s
+                        apply(b0, jnp.maximum(0.0, lam[b0] - row_res(b0) / diag[b0])
+                              * act_rows[b0])
+                        bound = mu_rows[b0] * lam[b0]
+                        if block_pgs:
+                            i11, i22, i12 = finv[s]
+                            r1 = row_res(b0 + 1)
+                            r2 = row_res(b0 + 2)
+                            d1 = -(i11 * r1 + i12 * r2)
+                            d2 = -(i12 * r1 + i22 * r2)
+                            n1 = jnp.clip(lam[b0 + 1] + d1, -bound, bound) \
+                                * act_rows[b0 + 1]
+                            n2 = jnp.clip(lam[b0 + 2] + d2, -bound, bound) \
+                                * act_rows[b0 + 2]
+                            e1 = n1 - lam[b0 + 1]
+                            e2 = n2 - lam[b0 + 2]
+                            lam[b0 + 1] = n1
+                            lam[b0 + 2] = n2
+                            for i2 in range(nv):
+                                z[i2] = z[i2] + W[i2][b0 + 1] * e1 \
+                                    + W[i2][b0 + 2] * e2
+                        else:
+                            for t in (b0 + 1, b0 + 2):
+                                apply(t, jnp.clip(lam[t] - row_res(t) / diag[t],
+                                                  -bound, bound) * act_rows[t])
+                    return tuple(lam), tuple(z)
+
+                zt_mf = jnp.zeros(SUB, dtype=jnp.float32)
+                lam_t, z_t = jax.lax.fori_loop(
+                    0, iters, sweep_mf, ((zt_mf,) * nr, (zt_mf,) * nv)
+                )
+                lam_rows = list(lam_t)
+                # z IS W·λ — the velocity update's contraction comes free
+                u = list(z_t)
+                dv = bwd_subst(u)
+            else:
+                resid0 = jnp.stack(cvec)                      # (nr, 8, 128)
+
+                # A = WᵀW + cfm I : (nr, nr, 8, 128)
+                A = W[0][:, None] * W[0][None, :]
+                for i2 in range(1, nv):
+                    A = A + W[i2][:, None] * W[i2][None, :]
+                # cfm regularization on the diagonal via iota (no array consts)
+                ri = jax.lax.broadcasted_iota(jnp.int32, (nr, nr, 1, 1), 0)
+                ci = jax.lax.broadcasted_iota(jnp.int32, (nr, nr, 1, 1), 1)
+                A = A + cfm * (ri == ci).astype(jnp.float32)
+
+                # ---------------- PGS sweeps (fori over iterations)
+                diag = jnp.maximum(jnp.stack([A[r, r] for r in range(nr)]), 1e-9)
+                # one-hot row selectors — Mosaic has no scatter, so row updates
+                # are arithmetic: lam += onehot_r · Δ. Built in-kernel via iota
+                # (Pallas kernels cannot capture array constants).
+                row_ids = jax.lax.broadcasted_iota(jnp.int32, (nr, 1, 1), 0)
+                onehot = [(row_ids == r).astype(jnp.float32) for r in range(nr)]
+
+                if block_pgs and ns:
+                    # per-contact 2×2 friction-block inverses, precomputed once
+                    # (A is constant across sweeps) — mirrors ops/solver.pgs_solve
+                    # block mode exactly
+                    finv = []
+                    for s in range(ns):
+                        t1r = ne + nlim + 3 * s + 1
+                        t2r = t1r + 1
+                        a11 = jnp.maximum(A[t1r, t1r], 1e-9)
+                        a22 = jnp.maximum(A[t2r, t2r], 1e-9)
+                        a12 = A[t1r, t2r]
+                        det = jnp.maximum(a11 * a22 - a12 * a12, 1e-12)
+                        finv.append((a22 / det, a11 / det, -a12 / det))
+
+                def sweep(_, carry):
+                    lam, resid = carry
+
+                    def row_update(lam, resid, r, new):
+                        d = new - lam[r]
+                        lam = lam + onehot[r] * d[None]
+                        resid = resid + A[:, r] * d[None]
+                        return lam, resid
+
+                    # equality rows: unbounded impulses, activity-masked
+                    for r in range(ne):
+                        new = (lam[r] - resid[r] / diag[r]) * act_rows[r]
+                        lam, resid = row_update(lam, resid, r, new)
+                    # joint-limit rows: unilateral (λ ≥ 0)
+                    for r in range(ne, ne + nlim):
+                        new = jnp.maximum(0.0, lam[r] - resid[r] / diag[r]) * act_rows[r]
+                        lam, resid = row_update(lam, resid, r, new)
+                    for s in range(ns):
+                        b0 = ne + nlim + 3 * s
+                        new = jnp.maximum(0.0, lam[b0] - resid[b0] / diag[b0]) * act_rows[b0]
+                        lam, resid = row_update(lam, resid, b0, new)
+                        bound = mu_rows[b0] * lam[b0]
+                        if block_pgs:
+                            # coupled 2×2 friction solve, then box clamp
+                            i11, i22, i12 = finv[s]
+                            d1 = -(i11 * resid[b0 + 1] + i12 * resid[b0 + 2])
+                            d2 = -(i12 * resid[b0 + 1] + i22 * resid[b0 + 2])
+                            n1 = jnp.clip(lam[b0 + 1] + d1, -bound, bound) * act_rows[b0 + 1]
+                            n2 = jnp.clip(lam[b0 + 2] + d2, -bound, bound) * act_rows[b0 + 2]
+                            e1 = n1 - lam[b0 + 1]
+                            e2 = n2 - lam[b0 + 2]
+                            lam = lam + onehot[b0 + 1] * e1[None] + onehot[b0 + 2] * e2[None]
+                            resid = resid + A[:, b0 + 1] * e1[None] + A[:, b0 + 2] * e2[None]
+                        else:
+                            for t in (b0 + 1, b0 + 2):
+                                new = jnp.clip(lam[t] - resid[t] / diag[t], -bound, bound) * act_rows[t]
+                                lam, resid = row_update(lam, resid, t, new)
                     return lam, resid
 
-                # equality rows: unbounded impulses, activity-masked
-                for r in range(ne):
-                    new = (lam[r] - resid[r] / diag[r]) * act_rows[r]
-                    lam, resid = row_update(lam, resid, r, new)
-                # joint-limit rows: unilateral (λ ≥ 0)
-                for r in range(ne, ne + nlim):
-                    new = jnp.maximum(0.0, lam[r] - resid[r] / diag[r]) * act_rows[r]
-                    lam, resid = row_update(lam, resid, r, new)
-                for s in range(ns):
-                    b0 = ne + nlim + 3 * s
-                    new = jnp.maximum(0.0, lam[b0] - resid[b0] / diag[b0]) * act_rows[b0]
-                    lam, resid = row_update(lam, resid, b0, new)
-                    bound = mu_rows[b0] * lam[b0]
-                    if block_pgs:
-                        # coupled 2×2 friction solve, then box clamp
-                        i11, i22, i12 = finv[s]
-                        d1 = -(i11 * resid[b0 + 1] + i12 * resid[b0 + 2])
-                        d2 = -(i12 * resid[b0 + 1] + i22 * resid[b0 + 2])
-                        n1 = jnp.clip(lam[b0 + 1] + d1, -bound, bound) * act_rows[b0 + 1]
-                        n2 = jnp.clip(lam[b0 + 2] + d2, -bound, bound) * act_rows[b0 + 2]
-                        e1 = n1 - lam[b0 + 1]
-                        e2 = n2 - lam[b0 + 2]
-                        lam = lam + onehot[b0 + 1] * e1[None] + onehot[b0 + 2] * e2[None]
-                        resid = resid + A[:, b0 + 1] * e1[None] + A[:, b0 + 2] * e2[None]
-                    else:
-                        for t in (b0 + 1, b0 + 2):
-                            new = jnp.clip(lam[t] - resid[t] / diag[t], -bound, bound) * act_rows[t]
-                            lam, resid = row_update(lam, resid, t, new)
-                return lam, resid
+                lam0 = jnp.zeros((nr,) + SUB, dtype=jnp.float32)
+                lam, _ = jax.lax.fori_loop(0, iters, sweep, (lam0, resid0))
+                lam_rows = [lam[r] for r in range(nr)]
 
-            lam0 = jnp.zeros((nr,) + SUB, dtype=jnp.float32)
-            lam, _ = jax.lax.fori_loop(0, iters, sweep, (lam0, resid0))
-
-            # ---------------- velocity update: qd' = v_free + L⁻ᵀ(Wλ)
-            u = [jnp.sum(W[i2] * lam, axis=0) for i2 in range(nv)]
-            dv = bwd_subst(u)
+                # ---------------- velocity update: qd' = v_free + L⁻ᵀ(Wλ)
+                u = [jnp.sum(W[i2] * lam, axis=0) for i2 in range(nv)]
+                dv = bwd_subst(u)
             # velocity hard cap — must mirror ops/integrate.MAX_VEL
             qd_n = [jnp.clip(add(v_free[i2], dv[i2]), -100.0, 100.0) for i2 in range(nv)]
 
@@ -941,7 +1027,7 @@ def make_pallas_substep(
                 qdj_n.append(v)
             q_out = list(bp_n) + list(bq_n) + qj_n
             qd_out = [qd_n[k] for k in range(6)] + qdj_n
-            nimp = [lam[ne + nlim + 3 * s] for s in range(ns)]
+            nimp = [lam_rows[ne + nlim + 3 * s] for s in range(ns)]
             return q_out, qd_out, depth, nimp, (Lc, Ld_inv)
 
         q_s = [q_ref[c] for c in range(nq)]

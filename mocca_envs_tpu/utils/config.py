@@ -54,6 +54,17 @@ class EngineConfig:
     # kernel body hurts pipelining more than the skipped CRBA+Cholesky helps
     # (measured −8% Cassie, −5% walker — BENCH.md round-2 table).
     reuse_factor: bool = False
+    # Matrix-free PGS in the fused kernel: never materialize the Delassus
+    # matrix A = WᵀW. The sweep instead carries z = W·λ (nv tiles) and
+    # computes each row residual on demand as c_r + W_rᵀz + cfm·λ_r — the
+    # iteration is algebraically IDENTICAL to the A-form (same fixed point,
+    # same per-sweep trajectory), only the state representation changes.
+    # Why it wins: the A build costs nv·nr² tile-FMAs (walker: 27·60² ≈ 97k —
+    # more than the 8 sweeps combined) and holds an (nr²,8,128) ≈ 14 MB
+    # block in VMEM; matrix-free replaces both with 2·nv-per-row sweeps
+    # (54 vs 120 ops/row for the walker) and nv carried tiles. Kernel-only
+    # (the XLA oracle keeps the explicit A — its matmuls ride the MXU).
+    matfree_pgs: bool = False
     limit_margin: float = 0.15      # joint-limit rows activate within [rad|m]
     gravity: tuple = (0.0, 0.0, -9.8)  # pybullet default, SURVEY.md §2.3
     # Use the fused Pallas substep kernel (ops/pallas/engine.py) when the

@@ -71,6 +71,47 @@ def test_pallas_matches_jax_substep():
 
 
 @pytest.mark.slow
+def test_pallas_matfree_matches_aform_and_oracle():
+    """Matrix-free PGS (config.matfree_pgs): algebraically the SAME iteration
+    as the A-form (z = W·λ carried instead of the residual vector), so the
+    two kernels must agree to fp-reorder noise, and both must match the
+    oracle within the standard gates."""
+    model = hopper()
+    B = TILE
+    q, qd = _random_states(model, B, jax.random.key(21))
+    tau = 0.5 * jax.random.normal(jax.random.key(22), (B, model.nj))
+    gz = jnp.zeros(B)
+    fric = jnp.full((B,), 0.8)
+
+    cfg_mf = EngineConfig(sim_substeps=2, solver_iters=8, matfree_pgs=True)
+    pal_mf = make_pallas_substep(model, cfg_mf, interpret=True)
+    q_m, qd_m, depth_m, nimp_m = pal_mf(q, qd, tau, gz, fric)
+
+    pal_a = make_pallas_substep(model, CFG, interpret=True)
+    q_a, qd_a, depth_a, nimp_a = pal_a(q, qd, tau, gz, fric)
+
+    # kernel vs kernel: identical algebra, fp-only differences
+    np.testing.assert_allclose(np.asarray(q_m), np.asarray(q_a), atol=2e-5)
+    np.testing.assert_allclose(np.asarray(qd_m), np.asarray(qd_a), atol=5e-4)
+    np.testing.assert_allclose(np.asarray(nimp_m), np.asarray(nimp_a), atol=5e-4)
+
+    sub = make_substep(model, CFG)
+    scene = scene_mod.flat()
+
+    def jax_path(q1, qd1, t1):
+        qq, dd = q1, qd1
+        for _ in range(CFG.sim_substeps):
+            qq, dd, info = sub(qq, dd, t1, scene)
+        return qq, dd, info.contacts.depth, info.normal_impulse
+
+    q_j, qd_j, depth_j, nimp_j = jax.vmap(jax_path)(q, qd, tau)
+    np.testing.assert_allclose(np.asarray(q_m), np.asarray(q_j), atol=2e-4)
+    np.testing.assert_allclose(np.asarray(qd_m), np.asarray(qd_j), atol=5e-3)
+    np.testing.assert_allclose(np.asarray(depth_m), np.asarray(depth_j), atol=2e-4)
+    np.testing.assert_allclose(np.asarray(nimp_m), np.asarray(nimp_j), atol=5e-3)
+
+
+@pytest.mark.slow
 def test_pallas_constraints_match_jax_substep():
     """Equality rows (p2p rod, planar lock, grab) vs the JAX oracle."""
     from mocca_envs_tpu.ops.step import ConstraintSpec

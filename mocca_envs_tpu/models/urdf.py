@@ -75,8 +75,15 @@ def _parse_inertial(link_el):
 
 
 def _collision_spheres(link_el):
-    """Yield (pos, radius) canonical spheres for a link's collision geoms."""
+    """Yield (pos, radius, foot, no_bar) canonical spheres for a link's
+    collision geoms. ``foot``/``no_bar`` come from the ``mocca_foot`` /
+    ``mocca_no_bar`` vendor attributes written by models/urdf_export.py
+    (None / False when absent — plain third-party URDF)."""
     for col in link_el.findall("collision"):
+        vfoot = col.get("mocca_foot")
+        vno_bar = col.get("mocca_no_bar") == "1"
+        vorder = col.get("mocca_order")
+        vorder = int(vorder) if vorder is not None else None
         origin = col.find("origin")
         xyz = _floats(origin.get("xyz") if origin is not None else None)
         rpy = _floats(origin.get("rpy") if origin is not None else None)
@@ -89,7 +96,7 @@ def _collision_spheres(link_el):
         box = geom.find("box")
         mesh = geom.find("mesh")
         if sph is not None:
-            yield xyz, float(sph.get("radius"))
+            yield xyz, float(sph.get("radius")), vfoot, vno_bar, vorder
         elif cap is not None:
             r = float(cap.get("radius"))
             L = float(cap.get("length", "0"))
@@ -97,7 +104,7 @@ def _collision_spheres(link_el):
             if L > 4 * r:
                 ends.append(0.0)
             for e in ends:
-                yield xyz + R @ np.array([0.0, 0.0, e]), r
+                yield xyz + R @ np.array([0.0, 0.0, e]), r, vfoot, vno_bar, vorder
         elif box is not None:
             half = _floats(box.get("size")) / 2.0
             r = float(max(min(half), 1e-3))
@@ -106,13 +113,13 @@ def _collision_spheres(link_el):
                 for sy in (-1, 1):
                     for sz in (-1, 1):
                         p = np.array([sx, sy, sz]) * inset
-                        yield xyz + R @ p, r
+                        yield xyz + R @ p, r, vfoot, vno_bar, vorder
         elif mesh is not None:
             logger.warning(
                 "mesh collision geometry approximated by a single sphere "
                 "(file=%s)", mesh.get("filename")
             )
-            yield xyz, 0.05
+            yield xyz, 0.05, vfoot, vno_bar, vorder
 
 
 def parse_urdf(
@@ -181,6 +188,11 @@ def parse_urdf(
                 effort = float(limit_el.get("effort", default_power_coef))
             dyn = j.find("dynamics")
             damping = float(dyn.get("damping", "0")) if dyn is not None else 0.0
+            # vendor extension (models/urdf_export.py): engine constants URDF
+            # has no vocabulary for — Cassie leaf springs, rotor armature,
+            # PD gains, unactuated passive joints (reference behavior B3)
+            mx = j.find("mocca_dynamics")
+            mg = (lambda k, d="0": float(mx.get(k, d))) if mx is not None else None
             mass, com, inertia = _parse_inertial(links[child])
             b.add_link(
                 child,
@@ -191,7 +203,14 @@ def parse_urdf(
                 joint_axis=axis,
                 limit=limit,
                 damping=damping,
-                actuated=jtype != FIXED,
+                stiffness=mg("stiffness") if mx is not None else 0.0,
+                spring_ref=mg("spring_ref") if mx is not None else 0.0,
+                armature=mg("armature") if mx is not None else 0.0,
+                kp=mg("kp") if mx is not None else 0.0,
+                kd=mg("kd") if mx is not None else 0.0,
+                actuated=(
+                    mg("actuated", "1") > 0.5 if mx is not None else jtype != FIXED
+                ),
                 power_coef=effort,
                 mass=mass,
                 com=com,
@@ -202,6 +221,7 @@ def parse_urdf(
             raise ValueError(f"disconnected joints: {[j.get('name') for j in remaining]}")
 
     # collision spheres (after all links exist; fixed-fold remaps them)
+    pending = []
     for urdf_name, el in links.items():
         target = name_map.get(urdf_name)
         if target is None:
@@ -210,7 +230,19 @@ def parse_urdf(
         lowered = urdf_name.lower()
         if any(k in lowered for k in foot_link_keywords):
             foot = urdf_name
-        for pos, radius in _collision_spheres(el):
-            b.add_sphere(target, pos, radius, foot=foot)
+        for pos, radius, vfoot, vno_bar, vorder in _collision_spheres(el):
+            # vendor attributes override the link-name heuristic
+            pending.append(
+                (vorder, len(pending), target, pos, radius,
+                 vfoot if vfoot is not None else foot, vno_bar)
+            )
+    # exporter-stamped ``mocca_order`` restores the original sphere
+    # enumeration (document order is link-major otherwise), so
+    # parse(export(model)) reproduces sph_* arrays and foot-column order
+    # EXACTLY (obs foot-flag layout is order-sensitive, behavior B4)
+    if pending and all(p[0] is not None for p in pending):
+        pending.sort(key=lambda p: p[0])
+    for _, _, target, pos, radius, foot, no_bar in pending:
+        b.add_sphere(target, pos, radius, foot=foot, no_bar=no_bar)
 
     return b.build()

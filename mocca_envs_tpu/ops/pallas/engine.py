@@ -261,6 +261,7 @@ def make_pallas_substep(
     iters = int(config.solver_iters)
     block_pgs = bool(config.block_pgs)
     matfree = bool(config.matfree_pgs)
+    warm = bool(config.warm_start)
     gx, gy, gz_acc = (float(g) for g in config.gravity)
 
     # ---- host-side constants from the model. NOTE: convert whole arrays to
@@ -355,7 +356,7 @@ def make_pallas_substep(
         fric = fric_ref[0]
         tau_in = [tau_ref[j] for j in range(nj)]
 
-        def one_substep(q_s, qd_s, tau_cur, factor=None):
+        def one_substep(q_s, qd_s, tau_cur, factor=None, lam_in=None):
             bp = q_s[0:3]
             bq = q_s[3:7]
             qj = q_s[7:]
@@ -833,6 +834,19 @@ def make_pallas_substep(
                 s2 = sub_(s2, targets[r])
                 cvec.append(s2 if not _isf(s2) else jnp.broadcast_to(jnp.asarray(s2, jnp.float32), SUB))
 
+            def _tile(v):
+                return (
+                    jnp.broadcast_to(jnp.asarray(v, jnp.float32), SUB)
+                    if _isf(v) else v
+                )
+
+            # warm start (config.warm_start): seed λ from the previous
+            # substep, masked by this substep's row activity — mirrors
+            # ops/solver.pgs_solve's lam0 handling exactly
+            lam_ws = None
+            if warm and lam_in is not None:
+                lam_ws = [_tile(mul(act_rows[r], lam_in[r])) for r in range(nr)]
+
             if matfree:
                 # ------------ matrix-free PGS (config.matfree_pgs): never
                 # form A = WᵀW. Carry λ as nr per-row tiles (python-list
@@ -908,9 +922,17 @@ def make_pallas_substep(
                     return tuple(lam), tuple(z)
 
                 zt_mf = jnp.zeros(SUB, dtype=jnp.float32)
-                lam_t, z_t = jax.lax.fori_loop(
-                    0, iters, sweep_mf, ((zt_mf,) * nr, (zt_mf,) * nv)
-                )
+                if lam_ws is not None:
+                    z_ws = []
+                    for i2 in range(nv):
+                        s2 = 0.0
+                        for r in range(nr):
+                            s2 = madd(s2, W[i2][r], lam_ws[r])
+                        z_ws.append(_tile(s2))
+                    init_mf = (tuple(lam_ws), tuple(z_ws))
+                else:
+                    init_mf = ((zt_mf,) * nr, (zt_mf,) * nv)
+                lam_t, z_t = jax.lax.fori_loop(0, iters, sweep_mf, init_mf)
                 lam_rows = list(lam_t)
                 # z IS W·λ — the velocity update's contraction comes free
                 u = list(z_t)
@@ -988,7 +1010,12 @@ def make_pallas_substep(
                                 lam, resid = row_update(lam, resid, t, new)
                     return lam, resid
 
-                lam0 = jnp.zeros((nr,) + SUB, dtype=jnp.float32)
+                if lam_ws is not None:
+                    lam0 = jnp.stack(lam_ws)
+                    for r in range(nr):
+                        resid0 = resid0 + A[:, r] * lam_ws[r][None]
+                else:
+                    lam0 = jnp.zeros((nr,) + SUB, dtype=jnp.float32)
                 lam, _ = jax.lax.fori_loop(0, iters, sweep, (lam0, resid0))
                 lam_rows = [lam[r] for r in range(nr)]
 
@@ -1028,7 +1055,7 @@ def make_pallas_substep(
             q_out = list(bp_n) + list(bq_n) + qj_n
             qd_out = [qd_n[k] for k in range(6)] + qdj_n
             nimp = [lam_rows[ne + nlim + 3 * s] for s in range(ns)]
-            return q_out, qd_out, depth, nimp, (Lc, Ld_inv)
+            return q_out, qd_out, depth, nimp, (Lc, Ld_inv), tuple(lam_rows)
 
         q_s = [q_ref[c] for c in range(nq)]
         qd_s = [qd_ref[c] for c in range(nv)]
@@ -1045,47 +1072,71 @@ def make_pallas_substep(
 
         reuse = bool(config.reuse_factor) and n_sub > 1
         if n_llc == 1 and n_sub == 1:
-            q_s, qd_s, depth, nimp, _f = one_substep(q_s, qd_s, tau_of(q_s))
+            q_s, qd_s, depth, nimp, _f, _l = one_substep(q_s, qd_s, tau_of(q_s))
         else:
             # nested fori loops: llc frames (tau refresh) × substeps —
             # kernel body traced ONCE per loop level (twice with reuse: the
-            # frame's first substep factorizes, the fori'd rest reuse)
+            # frame's first substep factorizes, the fori'd rest reuse).
+            # With warm_start the impulse vector λ rides the carry (tuple of
+            # nr tiles), seeding each substep from the previous one — zeros
+            # at the control step's first substep, like the oracle.
             zt = jnp.zeros(SUB, dtype=jnp.float32)
 
             def llc_body(_, carry):
-                q_c, qd_c, _d, _n = carry
+                if warm:
+                    q_c, qd_c, _d, _n, lam_c = carry
+                else:
+                    q_c, qd_c, _d, _n = carry
+                    lam_c = None
                 tau_cur = tau_of(list(q_c))
 
                 if reuse:
-                    q1, qd1, d1, n1, fac = one_substep(
-                        list(q_c), list(qd_c), tau_cur
+                    q1, qd1, d1, n1, fac, l1 = one_substep(
+                        list(q_c), list(qd_c), tau_cur, lam_in=lam_c
                     )
 
                     def sub_body_r(_, c2):
-                        q2, qd2, _d2, _n2 = c2
-                        q_n, qd_n, d_n, n_n, _f2 = one_substep(
-                            list(q2), list(qd2), tau_cur, factor=fac
+                        if warm:
+                            q2, qd2, _d2, _n2, l2 = c2
+                        else:
+                            q2, qd2, _d2, _n2 = c2
+                            l2 = None
+                        q_n, qd_n, d_n, n_n, _f2, l_n = one_substep(
+                            list(q2), list(qd2), tau_cur, factor=fac, lam_in=l2
                         )
-                        return tuple(q_n), tuple(qd_n), tuple(d_n), tuple(n_n)
+                        out = (tuple(q_n), tuple(qd_n), tuple(d_n), tuple(n_n))
+                        return out + ((l_n,) if warm else ())
 
-                    return jax.lax.fori_loop(
-                        0, n_sub - 1, sub_body_r,
-                        (tuple(q1), tuple(qd1), tuple(d1), tuple(n1)),
-                    )
+                    init_r = (tuple(q1), tuple(qd1), tuple(d1), tuple(n1))
+                    if warm:
+                        init_r = init_r + (l1,)
+                    return jax.lax.fori_loop(0, n_sub - 1, sub_body_r, init_r)
 
                 def sub_body(_, c2):
-                    q2, qd2, _d2, _n2 = c2
-                    q_n, qd_n, d_n, n_n, _f2 = one_substep(
-                        list(q2), list(qd2), tau_cur
+                    if warm:
+                        q2, qd2, _d2, _n2, l2 = c2
+                    else:
+                        q2, qd2, _d2, _n2 = c2
+                        l2 = None
+                    q_n, qd_n, d_n, n_n, _f2, l_n = one_substep(
+                        list(q2), list(qd2), tau_cur, lam_in=l2
                     )
-                    return tuple(q_n), tuple(qd_n), tuple(d_n), tuple(n_n)
+                    out = (tuple(q_n), tuple(qd_n), tuple(d_n), tuple(n_n))
+                    return out + ((l_n,) if warm else ())
 
-                return jax.lax.fori_loop(
-                    0, n_sub, sub_body, (q_c, qd_c, _d, _n)
-                )
+                init_s = (q_c, qd_c, _d, _n)
+                if warm:
+                    init_s = init_s + (carry[4],)
+                return jax.lax.fori_loop(0, n_sub, sub_body, init_s)
 
             init = (tuple(q_s), tuple(qd_s), (zt,) * ns, (zt,) * ns)
-            q_s, qd_s, depth, nimp = jax.lax.fori_loop(0, n_llc, llc_body, init)
+            if warm:
+                init = init + ((zt,) * nr,)
+                q_s, qd_s, depth, nimp, _lam = jax.lax.fori_loop(
+                    0, n_llc, llc_body, init
+                )
+            else:
+                q_s, qd_s, depth, nimp = jax.lax.fori_loop(0, n_llc, llc_body, init)
 
         for c in range(nq):
             qo_ref[c] = q_s[c]

@@ -60,6 +60,7 @@ def pgs_solve(
     iters: int,            # static: fixed sweep count
     nlim: int = 0,         # static: unilateral joint-limit rows after ne
     block: bool = False,   # static: exact 2×2 friction solve per contact
+    lam0: jnp.ndarray | None = None,   # warm-start impulses (previous substep)
 ) -> jnp.ndarray:
     """Return impulses λ (nr,). Complementarity: equality rows unbounded,
     limit rows λ ≥ 0, normal rows λ ≥ 0, friction rows |λ_t| ≤ μ λ_n (box
@@ -133,8 +134,17 @@ def pgs_solve(
 
     # zeros_like (not zeros): under shard_map the carry must match c's
     # varying-axes type, or the fori_loop carry typecheck fails
-    lam0 = jnp.zeros_like(c)
-    lam, _ = jax.lax.fori_loop(0, iters, sweep, (lam0, c))
+    if lam0 is None:
+        lam0 = jnp.zeros_like(c)
+        r0 = c
+    else:
+        # warm start (EngineConfig.warm_start): begin from the previous
+        # substep's impulses — rows keep their meaning across substeps
+        # (static layout), so convergence needs fewer sweeps. Masked rows
+        # must start at 0 or their stale impulse leaks into the residual.
+        lam0 = lam0 * active
+        r0 = c + A @ lam0
+    lam, _ = jax.lax.fori_loop(0, iters, sweep, (lam0, r0))
     return lam
 
 

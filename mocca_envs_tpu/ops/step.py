@@ -172,7 +172,7 @@ def make_substep(
         return linalg.chol_inverse(linalg.chol_factor(M + jnp.diag(extra)))
 
     def substep(q, qd, tau_joint, scene: Scene, grab_active=None,
-                grab_target=None, Minv_in=None):
+                grab_target=None, Minv_in=None, lam_in=None):
         fd = forward_kinematics(model, q, qd)
         contacts = collide_mod.collide(model, fd, scene, config.contact_margin)
 
@@ -291,6 +291,7 @@ def make_substep(
         lam = pgs_solve(
             A, c, active, mu, ne, ns, config.solver_iters,
             nlim=nlim, block=config.block_pgs,
+            lam0=lam_in if config.warm_start else None,
         )
 
         qd_new = v_free + MinvJT @ lam
@@ -303,6 +304,10 @@ def make_substep(
             foot_contact=collide_mod.foot_contact_flags(model, contacts),
             link_contact=collide_mod.link_contact_mask(model, contacts),
         )
+        if config.warm_start:
+            # warm-start mode: expose λ so the llc unit can carry it into
+            # the next substep (4-tuple return — see EngineConfig.warm_start)
+            return q_new, qd_new, info, lam
         return q_new, qd_new, info
 
     substep.minv_of = minv_of
@@ -375,8 +380,10 @@ def _make_llc_unit(model: RobotModel, config: EngineConfig, substep,
     batch not a tile multiple) uses the JAX path.
     """
 
+    nr_ws = constraints.ne + len(limited_joints(model)) + 3 * model.ns
+
     def jax_unit(q, qd, tau_or_targets, scene, grab_active=None, grab_target=None):
-        def one_llc(q, qd):
+        def one_llc(q, qd, lam=None):
             if pd_mode:
                 qj = q[7:] if model.floating else q
                 tau_j = model.actuated * model.kp * (tau_or_targets - qj)
@@ -391,6 +398,20 @@ def _make_llc_unit(model: RobotModel, config: EngineConfig, substep,
                 else None
             )
 
+            if config.warm_start:
+                def sim(carry, _):
+                    q, qd, lam = carry
+                    q, qd, info, lam = substep(
+                        q, qd, tau_j, scene, grab_active, grab_target,
+                        Minv_in=Minv0, lam_in=lam,
+                    )
+                    return (q, qd, lam), info
+
+                (q, qd, lam), infos = jax.lax.scan(
+                    sim, (q, qd, lam), None, length=config.sim_substeps
+                )
+                return q, qd, lam, jax.tree.map(lambda x: x[-1], infos)
+
             def sim(carry, _):
                 q, qd = carry
                 q, qd, info = substep(
@@ -403,8 +424,24 @@ def _make_llc_unit(model: RobotModel, config: EngineConfig, substep,
             )
             return q, qd, jax.tree.map(lambda x: x[-1], infos)
 
+        lam0 = jnp.zeros((nr_ws,), dtype=q.dtype) if config.warm_start else None
+
         if not pd_mode:
+            if config.warm_start:
+                q, qd, _lam, info = one_llc(q, qd, lam0)
+                return q, qd, info
             return one_llc(q, qd)
+
+        if config.warm_start:
+            def llc_ws(carry, _):
+                q, qd, lam = carry
+                q, qd, lam, info = one_llc(q, qd, lam)
+                return (q, qd, lam), info
+
+            (q, qd, _lam), infos = jax.lax.scan(
+                llc_ws, (q, qd, lam0), None, length=config.llc_frames
+            )
+            return q, qd, jax.tree.map(lambda x: x[-1], infos)
 
         def llc(carry, _):
             q, qd = carry

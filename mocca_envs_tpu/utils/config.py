@@ -65,6 +65,16 @@ class EngineConfig:
     # (54 vs 120 ops/row for the walker) and nv carried tiles. Kernel-only
     # (the XLA oracle keeps the explicit A — its matmuls ride the MXU).
     matfree_pgs: bool = False
+    # Warm-start PGS: seed each substep's impulses with the previous
+    # substep's λ (zeros at each control step's first substep). The row
+    # layout is static, so rows keep their meaning across substeps; the
+    # solver then only has to correct the CHANGE in the contact state,
+    # which converges in fewer sweeps (pair with a lower solver_iters —
+    # Bullet warm-starts through persistent manifolds for the same reason).
+    # Applied identically by the JAX oracle and the fused kernel. With
+    # warm_start on, the oracle substep returns (q', qd', info, λ) and
+    # accepts lam_in — callers that enable it must thread the carry.
+    warm_start: bool = False
     limit_margin: float = 0.15      # joint-limit rows activate within [rad|m]
     gravity: tuple = (0.0, 0.0, -9.8)  # pybullet default, SURVEY.md §2.3
     # Use the fused Pallas substep kernel (ops/pallas/engine.py) when the

@@ -150,6 +150,56 @@ def test_energy_dissipates_not_gains():
     assert float(jnp.max(es)) <= float(e0) * 1.01 + 1e-3
 
 
+def test_warm_start_contact_behaviors_with_fewer_sweeps():
+    """EngineConfig.warm_start at 4 sweeps reproduces the behavioral gates
+    that row-PGS runs at 20: the carried λ means each substep only corrects
+    the CHANGE in contact state. Driven through make_control_step (which
+    owns the λ threading)."""
+    from mocca_envs_tpu.ops.step import make_control_step
+
+    cfg = EngineConfig(solver_iters=4, warm_start=True, use_pallas=False)
+    model = ball(radius=0.1)
+    ctrl = jax.jit(
+        lambda q, qd, scene: make_control_step(model, cfg)(
+            q, qd, jnp.zeros(model.nj), scene
+        )
+    )
+
+    def run(q, qd, scene, n_ctrl):
+        def body(carry, _):
+            q, qd = carry
+            q, qd, info = ctrl(q, qd, scene)
+            return (q, qd), None
+
+        (q, qd), _ = jax.lax.scan(body, (q, qd), None, length=n_ctrl)
+        return q, qd
+
+    # drop → rest at radius with zero velocity
+    q, qd = run(
+        jnp.asarray(free_q(pos=(0, 0, 0.5))), jnp.asarray(free_qd()),
+        scene_mod.flat(), 100,
+    )
+    assert abs(float(q[2]) - 0.1) < 5e-3, q[2]
+    np.testing.assert_allclose(qd[0:3], np.zeros(3), atol=1e-2)
+
+    # friction brings a sliding ball to rolling without slip
+    q, qd = run(
+        jnp.asarray(free_q(pos=(0, 0, 0.1))),
+        jnp.asarray(free_qd(lin=(2.0, 0, 0))),
+        scene_mod.flat(friction=0.8), 125,
+    )
+    v_contact = qd[0:3] + jnp.cross(qd[3:6], jnp.array([0.0, 0.0, -0.1]))
+    np.testing.assert_allclose(v_contact, np.zeros(3), atol=5e-2)
+
+    # frictionless glide preserves velocity
+    q, qd = run(
+        jnp.asarray(free_q(pos=(0, 0, 0.1))),
+        jnp.asarray(free_qd(lin=(2.0, 0, 0))),
+        scene_mod.flat(friction=0.0), 50,
+    )
+    np.testing.assert_allclose(qd[0], 2.0, rtol=5e-2)
+
+
 def test_block_pgs_contact_behaviors_with_fewer_sweeps():
     """EngineConfig.block_pgs at 8 sweeps reproduces the row-PGS behavioral
     gates that run at 20: resting height, roll-without-slip, frictionless

@@ -112,6 +112,45 @@ def test_pallas_matfree_matches_aform_and_oracle():
 
 
 @pytest.mark.slow
+def test_pallas_warm_start_matches_oracle():
+    """config.warm_start: λ carried across substeps, kernel ≡ oracle with
+    both PGS representations (the fused path's λ tuple rides the fori
+    carry; the oracle threads it through the sim scan)."""
+    from mocca_envs_tpu.ops.step import limited_joints
+
+    model = hopper()
+    B = TILE
+    q, qd = _random_states(model, B, jax.random.key(33))
+    tau = 0.5 * jax.random.normal(jax.random.key(34), (B, model.nj))
+    gz = jnp.zeros(B)
+    fric = jnp.full((B,), 0.8)
+    nr = len(limited_joints(model)) + 3 * model.ns
+    scene = scene_mod.flat()
+
+    for mf in (False, True):
+        cfg = EngineConfig(
+            sim_substeps=4, solver_iters=4, warm_start=True, matfree_pgs=mf
+        )
+        pal = make_pallas_substep(model, cfg, interpret=True)
+        q_p, qd_p, depth_p, nimp_p = pal(q, qd, tau, gz, fric)
+
+        sub = make_substep(model, cfg)
+
+        def jax_path(q1, qd1, t1):
+            qq, dd = q1, qd1
+            lam = jnp.zeros(nr)
+            for _ in range(cfg.sim_substeps):
+                qq, dd, info, lam = sub(qq, dd, t1, scene, lam_in=lam)
+            return qq, dd, info.contacts.depth, info.normal_impulse
+
+        q_j, qd_j, depth_j, nimp_j = jax.vmap(jax_path)(q, qd, tau)
+        np.testing.assert_allclose(np.asarray(q_p), np.asarray(q_j), atol=2e-4)
+        np.testing.assert_allclose(np.asarray(qd_p), np.asarray(qd_j), atol=5e-3)
+        np.testing.assert_allclose(np.asarray(depth_p), np.asarray(depth_j), atol=2e-4)
+        np.testing.assert_allclose(np.asarray(nimp_p), np.asarray(nimp_j), atol=5e-3)
+
+
+@pytest.mark.slow
 def test_pallas_constraints_match_jax_substep():
     """Equality rows (p2p rod, planar lock, grab) vs the JAX oracle."""
     from mocca_envs_tpu.ops.step import ConstraintSpec

@@ -50,8 +50,13 @@ from jax.experimental.pallas import tpu as pltpu
 from mocca_envs_tpu.models.schema import REVOLUTE, RobotModel
 from mocca_envs_tpu.utils.config import EngineConfig
 
-TILE = 1024          # envs per grid step
-SUB = (8, 128)       # physical tile shape
+import os as _os
+
+# envs per grid step. Overridable for perf experiments (MOCCA_TILE=2048
+# python bench.py): matrix-free PGS frees the ~14 MB Delassus block from
+# VMEM, which may admit larger tiles (better pipelining amortization).
+TILE = int(_os.environ.get("MOCCA_TILE", "1024"))
+SUB = (TILE // 128, 128)   # physical tile shape
 
 
 # ----------------------------------------------------------------- helpers
@@ -1164,7 +1169,9 @@ def make_pallas_substep(
         grid = (B // TILE,)
 
         def spec(C):
-            return pl.BlockSpec((C, 8, 128), lambda i: (0, i, 0), memory_space=pltpu.VMEM)
+            return pl.BlockSpec(
+                (C,) + SUB, lambda i: (0, i, 0), memory_space=pltpu.VMEM
+            )
 
         in_specs = [spec(nq), spec(nv), spec(nj), spec(1), spec(1)]
         inputs = [

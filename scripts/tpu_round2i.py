@@ -140,6 +140,85 @@ for env_id, B in FAMS:
         emit(phase="bench", tag=f"{env_id}_{best_tag}", ok=False,
              error=traceback.format_exc()[-300:])
 
+# ---------------- C2: terrain cost decomposition (where do the 0.33 µs go?)
+# Times each terrain-only component standalone at B=4096: the per-control-
+# step local-patch extraction einsum (HIGHEST vs default precision vs a
+# two-pass bf16 hi/lo split — ~2^-16 relative error, micrometers on heights
+# vs the 2 mm contact slop), and the 9-point obs-probe/termination sampling.
+try:
+    B = 4096
+    G, P = 65, 16
+    key = jax.random.key(0)
+    hf = 0.25 * jax.random.normal(key, (B, G, G), dtype=jnp.float32)
+    si = jax.random.randint(jax.random.key(1), (B,), 0, G - P)
+    sj = jax.random.randint(jax.random.key(2), (B,), 0, G - P)
+
+    def extract(hf, si, sj, precision):
+        rows = (si[:, None, None] + jnp.arange(P)[None, :, None]
+                == jnp.arange(G)[None, None, :]).astype(jnp.float32)
+        cols = (sj[:, None, None] + jnp.arange(P)[None, :, None]
+                == jnp.arange(G)[None, None, :]).astype(jnp.float32)
+        return jnp.einsum("bph,bhw,bqw->bpq", rows, hf, cols,
+                          precision=precision)
+
+    def extract_split(hf, si, sj):
+        rows = (si[:, None, None] + jnp.arange(P)[None, :, None]
+                == jnp.arange(G)[None, None, :]).astype(jnp.bfloat16)
+        cols = (sj[:, None, None] + jnp.arange(P)[None, :, None]
+                == jnp.arange(G)[None, None, :]).astype(jnp.bfloat16)
+        hi = hf.astype(jnp.bfloat16)
+        lo = (hf - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+        out = 0.0
+        for part in (hi, lo):
+            t = jax.lax.dot_general(
+                rows, part, (((2,), (1,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32)
+            out = out + jax.lax.dot_general(
+                t, cols, (((2,), (2,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32)
+        return out
+
+    variants = {
+        "extract_highest": jax.jit(lambda h, a, b: extract(h, a, b, jax.lax.Precision.HIGHEST)),
+        "extract_default": jax.jit(lambda h, a, b: extract(h, a, b, jax.lax.Precision.DEFAULT)),
+        "extract_bf16split": jax.jit(extract_split),
+    }
+    ref = None
+    for tag, fn in variants.items():
+        out = fn(hf, si, sj)
+        jax.block_until_ready(out)
+        t0 = time.perf_counter()
+        for _ in range(50):
+            out = fn(hf, si, sj)
+        jax.block_until_ready(out)
+        dt_us = (time.perf_counter() - t0) / 50 * 1e6
+        if ref is None:
+            ref = out
+        err = float(jnp.max(jnp.abs(out.astype(jnp.float32) - ref)))
+        emit(phase="terrain_decomp", tag=tag, us_per_call=round(dt_us, 1),
+             us_per_env=round(dt_us / B, 4), max_err_vs_highest=err)
+
+    # probe sampling (hf_sample_onehot, 9 points per env)
+    from mocca_envs_tpu.terrain.scene import Scene, hf_sample_onehot
+
+    sc = Scene(has_ground=True, has_hf=True, ground_z=jnp.zeros(()),
+               hf_height=hf[0], hf_xy0=jnp.asarray([-10.0, -10.0]),
+               hf_cell=jnp.asarray(20.0 / 64), friction=jnp.asarray(0.8))
+    scb = jax.tree.map(lambda x: jnp.broadcast_to(x, (B,) + x.shape), sc)
+    pts = jax.random.uniform(jax.random.key(3), (B, 9, 2), minval=-8, maxval=8)
+    samp = jax.jit(jax.vmap(hf_sample_onehot))
+    out = samp(scb, pts); jax.block_until_ready(out)
+    t0 = time.perf_counter()
+    for _ in range(50):
+        out = samp(scb, pts)
+    jax.block_until_ready(out)
+    dt_us = (time.perf_counter() - t0) / 50 * 1e6
+    emit(phase="terrain_decomp", tag="probes9", us_per_call=round(dt_us, 1),
+         us_per_env=round(dt_us / B, 4))
+except Exception:
+    traceback.print_exc()
+    emit(phase="terrain_decomp", ok=False, error=traceback.format_exc()[-300:])
+
 # ---------------- C: batch sweep at best config
 for B in (2048, 8192):
     try:

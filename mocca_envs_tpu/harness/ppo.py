@@ -66,6 +66,15 @@ class PPOConfig:
     # pays better than exploring — by transfer time the policy can no longer
     # discover a new task's rewards. −2.0 keeps σ ≥ 0.135.
     log_std_min: float = -2.0
+    # Floor SCHEDULE: when log_std_anneal_updates > 0, the effective floor
+    # interpolates linearly from log_std_min to log_std_min_final over that
+    # many updates, then holds. Subsumes the hand-run two-phase recipe
+    # (explore at −1.0 → fine-tune at −2.0): high early noise forces
+    # dynamically-stable gaits, the slow anneal lets the policy sharpen
+    # without the cliff that collapsed the round-2d continuation. The floor
+    # is dynamic data (update_count-driven) — no recompile per change.
+    log_std_min_final: float | None = None
+    log_std_anneal_updates: int = 0
 
 
 class RunningNorm(struct.PyTreeNode):
@@ -247,10 +256,20 @@ class PPOLearner:
         def _maybe_norm(norm, obs):
             return norm.normalize(obs) if cfg.normalize_obs else obs
 
+        def _floor_of(update_count):
+            """Effective log-std floor at this update (scalar, traced)."""
+            if cfg.log_std_anneal_updates <= 0 or cfg.log_std_min_final is None:
+                return jnp.asarray(cfg.log_std_min, jnp.float32)
+            frac = jnp.clip(
+                update_count.astype(jnp.float32) / cfg.log_std_anneal_updates,
+                0.0, 1.0,
+            )
+            return cfg.log_std_min + frac * (cfg.log_std_min_final - cfg.log_std_min)
+
         def policy(params_and_norm, obs, key):
-            params, norm = params_and_norm
+            params, norm, floor = params_and_norm
             mean, log_std, value = net.apply(params, _maybe_norm(norm, obs))
-            log_std = jnp.maximum(log_std, cfg.log_std_min)
+            log_std = jnp.maximum(log_std, floor)
             action, log_prob = _gaussian_sample(mean, log_std, key)
             return action, log_prob, value
 
@@ -264,10 +283,10 @@ class PPOLearner:
                 return x
             return jax.lax.pmean(x, ENV_AXIS)
 
-        def loss_fn(params, mb, adv_stats, norm):
+        def loss_fn(params, mb, adv_stats, norm, floor):
             obs, action, old_lp, old_v, adv, ret = mb
             mean, log_std, value = net.apply(params, _maybe_norm(norm, obs))
-            log_std = jnp.maximum(log_std, cfg.log_std_min)
+            log_std = jnp.maximum(log_std, floor)
             adv_mean, adv_std = adv_stats
             adv_n = (adv - adv_mean) / (adv_std + 1e-8)
             lp = _gaussian_log_prob(mean, log_std, action)
@@ -294,8 +313,11 @@ class PPOLearner:
                 loss = loss + cfg.mirror_coef * msl
             return loss, (pg_loss, v_loss, entropy)
 
-        def update_shard(params, opt_state, norm, env_state, obs, key, shard_key):
-            env_state, obs, key, traj = rollout((params, norm), env_state, obs, key)
+        def update_shard(params, opt_state, norm, env_state, obs, key, shard_key,
+                         floor):
+            env_state, obs, key, traj = rollout(
+                (params, norm, floor), env_state, obs, key
+            )
             _, _, last_value = net.apply(params, _maybe_norm(norm, traj.last_obs))
             if cfg.reward_scale != 1.0:
                 traj = traj.replace(reward=traj.reward * cfg.reward_scale)
@@ -338,7 +360,7 @@ class PPOLearner:
                         shuffled,
                     )
                     grads, aux = jax.grad(loss_fn, has_aux=True)(
-                        params, mb, (adv_mean, adv_std), norm
+                        params, mb, (adv_mean, adv_std), norm, floor
                     )
                     grads = jax.tree.map(pmean, grads)
                     updates, opt_state = tx.update(grads, opt_state, params)
@@ -364,6 +386,7 @@ class PPOLearner:
                 "v_loss": pmean(v_loss),
                 "entropy": entropy,
                 "adv_std": adv_std,
+                "log_std_floor": floor,
             }
             if traj.env_metrics is not None:
                 # env metric channels (SURVEY.md §5.5): batch means plus
@@ -395,7 +418,7 @@ class PPOLearner:
                 params, opt_state, norm, env_state, obs, _, metrics = update_shard(
                     state.params, state.opt_state, state.obs_norm,
                     state.env_state, state.obs, jax.random.fold_in(key, 0),
-                    jax.random.fold_in(sk, 0),
+                    jax.random.fold_in(sk, 0), _floor_of(state.update_count),
                 )
                 return (
                     TrainState(
@@ -416,17 +439,17 @@ class PPOLearner:
             @functools.partial(
                 jax.shard_map,
                 mesh=mesh,
-                in_specs=(P(), P(), P(), P(ENV_AXIS), P(ENV_AXIS), P()),
+                in_specs=(P(), P(), P(), P(ENV_AXIS), P(ENV_AXIS), P(), P()),
                 out_specs=(P(), P(), P(), P(ENV_AXIS), P(ENV_AXIS), P(), P()),
                 check_vma=False,
             )
-            def sharded_update(params, opt_state, norm, env_state, obs, key):
+            def sharded_update(params, opt_state, norm, env_state, obs, key, floor):
                 idx = jax.lax.axis_index(ENV_AXIS)
                 key, sk = jax.random.split(key)
                 shard_key = jax.random.fold_in(sk, idx)
                 params, opt_state, norm, env_state, obs, _, metrics = update_shard(
                     params, opt_state, norm, env_state, obs,
-                    jax.random.fold_in(key, idx), shard_key,
+                    jax.random.fold_in(key, idx), shard_key, floor,
                 )
                 # grads + norm stats were psum-averaged → replicas identical
                 return params, opt_state, norm, env_state, obs, key, metrics
@@ -436,6 +459,7 @@ class PPOLearner:
                 params, opt_state, norm, env_state, obs, key, metrics = sharded_update(
                     state.params, state.opt_state, state.obs_norm,
                     state.env_state, state.obs, state.key,
+                    _floor_of(state.update_count),
                 )
                 return (
                     TrainState(

@@ -86,6 +86,24 @@ def test_pybullet_recorder_module_imports_clean():
 
 # ------------------------------------------------------------------ PPO
 @pytest.mark.slow
+def test_ppo_log_std_floor_schedule(env):
+    """log_std_min_final/log_std_anneal_updates: the effective floor anneals
+    linearly with update_count and holds at the final value."""
+    cfg = PPOConfig(
+        horizon=4, num_epochs=1, num_minibatches=2, hidden=(16, 16),
+        log_std_min=-1.0, log_std_min_final=-2.0, log_std_anneal_updates=2,
+    )
+    learner = PPOLearner(env, cfg, mesh=None, num_envs=16)
+    state = learner.init(seed=0)
+    floors = []
+    for _ in range(4):
+        state, metrics = learner.train_step(state)
+        floors.append(float(metrics["log_std_floor"]))
+    # floor at update_count = 0, 1, 2, 3 → -1.0, -1.5, -2.0, -2.0 (held)
+    np.testing.assert_allclose(floors, [-1.0, -1.5, -2.0, -2.0], atol=1e-6)
+
+
+@pytest.mark.slow
 def test_ppo_single_device_update(env):
     cfg = PPOConfig(horizon=8, num_epochs=1, num_minibatches=2, hidden=(32, 32))
     learner = PPOLearner(env, cfg, mesh=None, num_envs=16)

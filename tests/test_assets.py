@@ -55,6 +55,62 @@ def test_assets_regenerate_matches_shipped(tmp_path):
             "python -m mocca_envs_tpu.models.assets"
 
 
+def test_mjcf_asset_roundtrip_walker3d():
+    """data/walker3d.xml (plain MJCF — the reference's walker3d format,
+    SURVEY.md C6 [K-med]) compiles to a model PHYSICALLY identical to the
+    hand-built walker. MJCF nesting linearizes links in DFS order (the
+    hand-built order is add-call order), so fields compare under the
+    link-name permutation; foot groups compare structurally (the parser
+    names them by link keyword, not by our group names)."""
+    import os
+
+    from mocca_envs_tpu.models import walker3d
+    from mocca_envs_tpu.models.mjcf import parse_mjcf
+    from mocca_envs_tpu.models.mjcf_export import export_mjcf
+
+    hand = walker3d.make_model()
+    path = os.path.join(assets.DATA_DIR, "walker3d.xml")
+    with open(path) as f:
+        shipped = f.read()
+    assert export_mjcf(hand, name="walker3d") == shipped, \
+        "data/walker3d.xml is stale"
+    parsed = parse_mjcf(path)
+
+    assert set(hand.link_names) == set(parsed.link_names)
+    perm = [parsed.link_names.index(n) for n in hand.link_names]  # hand→parsed
+    # topology: parents map through the permutation
+    for i in range(1, hand.nl):
+        assert parsed.parent[perm[i]] == perm[hand.parent[i]]
+    jperm = [perm[i] - 1 for i in range(1, hand.nl)]  # hand joint j → parsed joint
+    for f in ("joint_pos", "joint_quat", "joint_axis", "limit_lo", "limit_hi",
+              "damping", "stiffness", "armature", "actuated", "power_coef"):
+        a = np.asarray(getattr(hand, f), dtype=np.float64)
+        b = np.asarray(getattr(parsed, f), dtype=np.float64)[jperm]
+        np.testing.assert_allclose(a, b, atol=1e-6, err_msg=f)
+    for f in ("mass", "com", "inertia"):
+        a = np.asarray(getattr(hand, f), dtype=np.float64)
+        b = np.asarray(getattr(parsed, f), dtype=np.float64)[perm]
+        np.testing.assert_allclose(a, b, atol=1e-6, err_msg=f)
+    # spheres as canonical sets (link mapped through perm)
+    def sph_set(m, link_map):
+        out = []
+        for s in range(m.ns):
+            out.append((
+                int(link_map[int(np.asarray(m.sph_link)[s])]),
+                tuple(np.round(np.asarray(m.sph_pos)[s], 5)),
+                round(float(np.asarray(m.sph_radius)[s]), 5),
+            ))
+        return sorted(out)
+
+    assert sph_set(hand, perm) == sph_set(parsed, list(range(parsed.nl)))
+    # foot grouping: same sphere partition, names differ (keyword heuristic)
+    hf = np.asarray(hand.sph_foot)
+    assert hf.shape[1] == np.asarray(parsed.sph_foot).shape[1] == 2
+    for m, link_map in ((hand, perm), (parsed, list(range(parsed.nl)))):
+        fl = np.asarray(m.sph_foot)
+        assert int(fl.sum()) == 4  # 2 spheres per foot
+
+
 def test_asset_parses_without_vendor_heuristics():
     """The files are legal plain URDF: parsing with default settings (no
     vendor knowledge beyond ignoring unknown attrs) still yields a model

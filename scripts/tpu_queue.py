@@ -1,0 +1,25 @@
+"""Run the round-2 TPU session scripts sequentially in ONE process.
+
+One process = one axon claim for the whole queue (claim churn is 5-15 min
+per process death — memory: batch all TPU work). Each script is
+independently resumable (checkpoint-backed), so a watchdog restart of this
+queue re-runs cheaply. Order: 2i (option-matrix benches, ~45 min, highest
+information) → 2h (finish cont2 + evals + config-5 row + monkey rebalance)
+→ 2j (ALLSTEPS v4 floor-scheduled long run).
+"""
+
+import runpy
+import sys
+import time
+import traceback
+
+t0 = time.time()
+for script in ("scripts/tpu_round2i.py", "scripts/tpu_round2h.py",
+               "scripts/tpu_round2j.py"):
+    print(f"QUEUE: starting {script} at t={time.time()-t0:.0f}s", flush=True)
+    try:
+        runpy.run_path(script)
+    except Exception:
+        traceback.print_exc()
+        print(f"QUEUE: {script} FAILED, continuing", flush=True)
+print(f"QUEUE DONE in {time.time()-t0:.0f}s", flush=True)

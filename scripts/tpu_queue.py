@@ -15,7 +15,7 @@ import traceback
 
 t0 = time.time()
 for script in ("scripts/tpu_round2i.py", "scripts/tpu_round2h.py",
-               "scripts/tpu_round2j.py"):
+               "scripts/tpu_round2j.py", "scripts/tpu_round2k.py"):
     print(f"QUEUE: starting {script} at t={time.time()-t0:.0f}s", flush=True)
     try:
         runpy.run_path(script)

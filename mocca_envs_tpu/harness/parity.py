@@ -201,6 +201,122 @@ def replay_check(
     }
 
 
+# --------------------------------------------------------------- raw physics
+# Engine-level parity, independent of the reference PACKAGE: our exported
+# data/*.urdf assets (models/assets.py) describe identical robots in a
+# format stock pybullet loads, so a cross-ENGINE comparison needs only
+# `pip install pybullet` even while /root/reference stays empty. Ours-side
+# recorder + replayer below; the pybullet mirror lives in
+# parity_record_pybullet.py (--raw-urdf --match).
+
+
+def record_raw(
+    model,
+    config,
+    seed: int,
+    horizon: int,
+    q0: np.ndarray,
+    qd0: np.ndarray | None = None,
+    torque_scale: float = 0.3,
+    friction: float = 0.8,
+    name: str = "raw",
+) -> Recording:
+    """Record raw physics (no task): seeded torques through make_control_step.
+
+    ``action[t]`` holds the actual joint torques so any engine can mirror
+    the run verbatim. obs/reward/done carry zeros (no task semantics).
+    """
+    from mocca_envs_tpu.ops.step import make_control_step
+    from mocca_envs_tpu.terrain import scene as scene_mod
+
+    ctrl = jax.jit(
+        lambda q, qd, tau: make_control_step(model, config)(
+            q, qd, tau, scene_mod.flat(friction=friction)
+        )
+    )
+    rng = np.random.default_rng(seed)
+    taus = (
+        torque_scale
+        * np.asarray(model.power_coef)
+        * rng.uniform(-1.0, 1.0, size=(horizon, model.nj))
+    ).astype(np.float32)
+    q = jnp.asarray(q0, dtype=jnp.float32)
+    qd = jnp.asarray(
+        qd0 if qd0 is not None else np.zeros(model.nv), dtype=jnp.float32
+    )
+    qs, qds = [np.asarray(q)], [np.asarray(qd)]
+    for t in range(horizon):
+        q, qd, _info = ctrl(q, qd, jnp.asarray(taus[t]))
+        qs.append(np.asarray(q))
+        qds.append(np.asarray(qd))
+    T = horizon
+    meta = {
+        "env_id": name,
+        "seed": seed,
+        "engine": "tpu_raw",
+        "model_hash": model_hash(model),
+        "control_dt": float(config.control_dt),
+        "dt": float(config.dt),
+        "sim_substeps": int(config.sim_substeps),
+        "llc_frames": int(config.llc_frames),
+        "solver_iters": int(config.solver_iters),
+        "friction": friction,
+        "format_version": 1,
+    }
+    return Recording(
+        meta=meta,
+        q=_q_to_file_convention(model, np.stack(qs)),
+        qd=np.stack(qds),
+        action=taus,
+        obs=np.zeros((T, 0), dtype=np.float32),
+        reward=np.zeros((T,), dtype=np.float32),
+        done=np.zeros((T,), dtype=bool),
+    )
+
+
+def replay_check_raw(
+    model,
+    config,
+    rec: Recording,
+    gate: ToleranceGate = ToleranceGate(),
+) -> dict:
+    """Replay a raw-physics recording through OUR engine and gate q/qd.
+
+    Initial state comes from the recording itself (q[0]/qd[0], file xyzw
+    convention), so a pybullet-produced recording of the same URDF with the
+    same torques gates cross-engine trajectory parity directly.
+    """
+    from mocca_envs_tpu.ops.step import make_control_step
+    from mocca_envs_tpu.terrain import scene as scene_mod
+
+    q0 = np.array(rec.q[0])
+    if model.floating:
+        q0[3:7] = np.asarray(quat_ops.from_xyzw(jnp.asarray(q0[3:7])))
+    ctrl = jax.jit(
+        lambda q, qd, tau: make_control_step(model, config)(
+            q, qd, tau, scene_mod.flat(friction=float(rec.meta["friction"]))
+        )
+    )
+    q = jnp.asarray(q0, dtype=jnp.float32)
+    qd = jnp.asarray(rec.qd[0], dtype=jnp.float32)
+    T = rec.action.shape[0]
+    q_err = np.zeros(T)
+    ok = True
+    fail = ""
+    for t in range(T):
+        q, qd, _info = ctrl(q, qd, jnp.asarray(rec.action[t]))
+        q_now = _q_to_file_convention(model, np.asarray(q))
+        q_err[t] = float(np.max(np.abs(q_now - rec.q[t + 1])))
+        if q_err[t] > gate.envelope(t, gate.q_atol):
+            ok, fail = False, fail or f"q@{t}"
+    return {
+        "ok": ok,
+        "first_failure": fail,
+        "steps": T,
+        "max_q_err": float(q_err.max(initial=0.0)),
+    }
+
+
 def reference_recorder_stub() -> str:
     """CLI recipe for producing the pybullet half of the parity pair.
 

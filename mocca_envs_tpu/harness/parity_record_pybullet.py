@@ -206,9 +206,122 @@ def record_pybullet(
     }
 
 
+def record_raw_pybullet(urdf: str, match: str) -> dict:
+    """Mirror a raw-physics recording (parity.record_raw) in stock pybullet.
+
+    Needs ONLY pybullet — not gym, not the reference package: the robot is
+    one of OUR exported data/*.urdf assets (identical masses/inertias/
+    limits/spheres by the round-trip gates in tests/test_assets.py), so
+    this is a true cross-ENGINE comparison runnable while /root/reference
+    is empty. Initial state, torque sequence, timestep, solver iterations
+    and friction all come from the matched recording's arrays/meta; gate
+    the result with parity.replay_check_raw on the other side.
+    """
+    try:
+        import pybullet as p
+    except ImportError:
+        raise SystemExit("record_raw_pybullet needs pybullet (pip install pybullet)")
+
+    z = np.load(match, allow_pickle=False)
+    meta = json.loads(str(z["meta"]))
+    q = np.asarray(z["q"], dtype=np.float64)
+    qd = np.asarray(z["qd"], dtype=np.float64)
+    taus = np.asarray(z["action"], dtype=np.float64)
+    dt = float(meta["dt"])
+    substeps = int(meta["sim_substeps"]) * int(meta.get("llc_frames", 1))
+    friction = float(meta["friction"])
+
+    cid = p.connect(p.DIRECT)
+    p.setGravity(0.0, 0.0, -9.8, physicsClientId=cid)
+    p.setTimeStep(dt, physicsClientId=cid)
+    p.setPhysicsEngineParameter(
+        numSolverIterations=int(meta["solver_iters"]),
+        numSubSteps=0,
+        physicsClientId=cid,
+    )
+    plane = p.createMultiBody(
+        0, p.createCollisionShape(p.GEOM_PLANE, physicsClientId=cid),
+        physicsClientId=cid,
+    )
+    p.changeDynamics(
+        plane, -1, lateralFriction=friction, restitution=0.0,
+        physicsClientId=cid,
+    )
+    body = p.loadURDF(
+        urdf,
+        basePosition=q[0, 0:3].tolist(),
+        baseOrientation=q[0, 3:7].tolist(),   # file convention is xyzw already
+        flags=p.URDF_USE_INERTIA_FROM_FILE,
+        physicsClientId=cid,
+    )
+    nj = p.getNumJoints(body, physicsClientId=cid)
+    movable = [
+        i for i in range(nj)
+        if p.getJointInfo(body, i, physicsClientId=cid)[2] != p.JOINT_FIXED
+    ]
+    assert len(movable) == taus.shape[1], (len(movable), taus.shape)
+    for k, i in enumerate(movable):
+        # kill default velocity motors; zero pybullet's implicit damping
+        p.setJointMotorControl2(
+            body, i, p.VELOCITY_CONTROL, force=0.0, physicsClientId=cid
+        )
+        p.resetJointState(
+            body, i, float(q[0, 7 + k]), float(qd[0, 6 + k]),
+            physicsClientId=cid,
+        )
+    for link in [-1] + movable:
+        p.changeDynamics(
+            body, link, lateralFriction=friction, restitution=0.0,
+            linearDamping=0.0, angularDamping=0.0, spinningFriction=0.0,
+            physicsClientId=cid,
+        )
+    p.resetBaseVelocity(
+        body, qd[0, 0:3].tolist(), qd[0, 3:6].tolist(), physicsClientId=cid
+    )
+
+    qs, qds = [], []
+    qq, dd = _extract_qqd(p, body, movable)
+    qs.append(qq)
+    qds.append(dd)
+    for t in range(taus.shape[0]):
+        p.setJointMotorControlArray(
+            body, movable, p.TORQUE_CONTROL, forces=taus[t].tolist(),
+            physicsClientId=cid,
+        )
+        for _ in range(substeps):
+            p.stepSimulation(physicsClientId=cid)
+        qq, dd = _extract_qqd(p, body, movable)
+        qs.append(qq)
+        qds.append(dd)
+    p.disconnect(cid)
+    meta = dict(meta)
+    meta["engine"] = "pybullet_raw"
+    T = taus.shape[0]
+    return {
+        "meta": meta,
+        "q": np.stack(qs),
+        "qd": np.stack(qds),
+        "action": taus.astype(np.float32),
+        "obs": np.zeros((T, 0), dtype=np.float32),
+        "reward": np.zeros((T,), dtype=np.float32),
+        "done": np.zeros((T,), dtype=bool),
+    }
+
+
 def main(argv=None) -> None:
     ap = argparse.ArgumentParser(description=__doc__.splitlines()[0])
-    ap.add_argument("--env", required=True, help="reference gym env id")
+    ap.add_argument("--env", help="reference gym env id")
+    ap.add_argument(
+        "--raw-urdf",
+        default=None,
+        help="raw-physics mode: pybullet on one of OUR data/*.urdf assets, "
+        "mirroring --match (a parity.record_raw npz); needs only pybullet",
+    )
+    ap.add_argument(
+        "--match",
+        default=None,
+        help="recording whose initial state + torques to mirror (raw mode)",
+    )
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--horizon", type=int, default=1000)
     ap.add_argument("--out", required=True, help="output .npz path")
@@ -218,6 +331,22 @@ def main(argv=None) -> None:
         help="npz with an 'action' (T, nu) array to replay (default zeros)",
     )
     args = ap.parse_args(argv)
+
+    if args.raw_urdf:
+        if not args.match:
+            ap.error("--raw-urdf requires --match (a parity.record_raw npz)")
+        data = record_raw_pybullet(args.raw_urdf, args.match)
+        os.makedirs(os.path.dirname(args.out) or ".", exist_ok=True)
+        np.savez_compressed(
+            args.out,
+            meta=json.dumps(data["meta"]),
+            q=data["q"], qd=data["qd"], action=data["action"],
+            obs=data["obs"], reward=data["reward"], done=data["done"],
+        )
+        print(f"raw-recorded {data['action'].shape[0]} steps -> {args.out}")
+        return
+    if not args.env:
+        ap.error("--env is required (or use --raw-urdf)")
 
     actions = None
     if args.actions:

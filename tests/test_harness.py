@@ -46,6 +46,32 @@ def test_parity_record_replay_roundtrip(env, model, tmp_path):
     assert result["max_reward_err"] < 1e-6, result
 
 
+def test_parity_raw_roundtrip_and_gate(model, tmp_path):
+    """Raw-physics parity seam (engine vs engine, no task): record_raw on
+    the ASSET-LOADED walker (the same data/walker3d.urdf a pybullet mirror
+    would load) → save/load → replay_check_raw zero-error; corrupting the
+    trajectory trips the gate."""
+    import numpy as np
+
+    from mocca_envs_tpu.models import assets
+    from mocca_envs_tpu.utils.config import EngineConfig
+
+    amodel = assets.load("walker3d")
+    cfg = EngineConfig(use_pallas=False)
+    q0 = np.concatenate([[0, 0, 1.32], [1, 0, 0, 0], np.zeros(amodel.nj)])
+    rec = parity.record_raw(amodel, cfg, seed=3, horizon=10, q0=q0)
+    path = str(tmp_path / "raw.npz")
+    rec.save(path)
+    rec2 = parity.Recording.load(path)
+    assert rec2.meta["engine"] == "tpu_raw"
+    result = parity.replay_check_raw(amodel, cfg, rec2)
+    assert result["ok"], result
+    assert result["max_q_err"] < 1e-6, result
+    rec2.q[5:] += 0.02
+    bad = parity.replay_check_raw(amodel, cfg, rec2)
+    assert not bad["ok"] and bad["first_failure"].startswith("q@")
+
+
 def test_parity_detects_mismatch(env, model, tmp_path):
     rec = parity.record(env, model, seed=6, horizon=8)
     rec.q[3:] += 0.5  # corrupt the golden

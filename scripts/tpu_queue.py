@@ -14,6 +14,22 @@ import time
 import traceback
 
 t0 = time.time()
+
+# Probe the backend ONCE up front: if the axon service is down this blocks
+# ~25 min then raises — exit nonzero so the launcher retries the whole
+# queue instead of burning a 25-min wait per script.
+import jax
+
+try:
+    backend = jax.default_backend()
+except Exception:
+    traceback.print_exc()
+    print("QUEUE: backend unavailable — exiting for launcher retry", flush=True)
+    sys.exit(1)
+if backend != "tpu":
+    print(f"QUEUE: backend is {backend!r}, not tpu — exiting", flush=True)
+    sys.exit(1)
+
 for script in ("scripts/tpu_round2i.py", "scripts/tpu_round2h.py",
                "scripts/tpu_round2j.py", "scripts/tpu_round2k.py"):
     print(f"QUEUE: starting {script} at t={time.time()-t0:.0f}s", flush=True)
@@ -21,5 +37,7 @@ for script in ("scripts/tpu_round2i.py", "scripts/tpu_round2h.py",
         runpy.run_path(script)
     except Exception:
         traceback.print_exc()
-        print(f"QUEUE: {script} FAILED, continuing", flush=True)
+        print(f"QUEUE: {script} FAILED", flush=True)
+        # a dead backend mid-run poisons the process — bail for a fresh one
+        sys.exit(1)
 print(f"QUEUE DONE in {time.time()-t0:.0f}s", flush=True)

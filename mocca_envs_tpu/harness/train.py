@@ -60,6 +60,12 @@ def parse_args(argv=None):
                    "unstable — see BENCH.md ALLSTEPS notes)")
     p.add_argument("--reward-scale", type=float, default=1.0,
                    help="learner-side reward scaling (0.1 for walker families)")
+    p.add_argument("--log-std-min-final", type=float, default=None,
+                   help="anneal the exploration floor to this value over "
+                   "--log-std-anneal updates (linear in update_count), then "
+                   "hold — subsumes the two-phase pretrain/fine-tune recipe")
+    p.add_argument("--log-std-anneal", type=int, default=0,
+                   help="updates over which the floor anneals (0 = constant)")
     p.add_argument("--reset-log-std", type=float, default=None,
                    help="re-open exploration at --init-from transfer by "
                    "resetting the policy log-std to this value")
@@ -118,6 +124,8 @@ def main(argv=None):
         lr=args.lr,
         mirror_coef=args.mirror_coef,
         log_std_min=args.log_std_min,
+        log_std_min_final=args.log_std_min_final,
+        log_std_anneal_updates=args.log_std_anneal,
         reward_scale=args.reward_scale,
     )
     learner = PPOLearner(env, cfg, mesh=mesh, num_envs=args.num_envs)

@@ -94,6 +94,10 @@ MATRIX = [
     ("w6", EngineConfig(warm_start=True, solver_iters=6)),
     ("mf_w4", EngineConfig(matfree_pgs=True, warm_start=True, solver_iters=4)),
     ("mf_w6", EngineConfig(matfree_pgs=True, warm_start=True, solver_iters=6)),
+    # reuse_factor lost 5-8% in round 2e from VMEM pressure — matfree frees
+    # ~14 MB, so retest the combination
+    ("mf_w4_rf", EngineConfig(matfree_pgs=True, warm_start=True,
+                              solver_iters=4, reuse_factor=True)),
 ]
 results = {}
 for tag, cfg in MATRIX:
@@ -113,7 +117,7 @@ emit(phase="matrix_best", tag=best_tag,
 BEST = dict(MATRIX)[best_tag]
 BEST_KW = dict(
     matfree_pgs=BEST.matfree_pgs, warm_start=BEST.warm_start,
-    solver_iters=BEST.solver_iters,
+    solver_iters=BEST.solver_iters, reuse_factor=BEST.reuse_factor,
 )
 
 # ---------------- B: family sweep at the best config

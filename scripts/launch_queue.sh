@@ -3,6 +3,10 @@
 # waits ~25 min then fails) and on hard stalls (no results-file write for
 # 25 min while the process lives — the 2f-style axon tunnel freeze).
 cd /root/repo
+# Package is not pip-installed in a fresh workspace; `python scripts/x.py`
+# puts scripts/ (not the repo root) on sys.path. PREPEND: the inherited
+# PYTHONPATH carries /root/.axon_site, which registers the axon TPU plugin.
+export PYTHONPATH=/root/repo${PYTHONPATH:+:$PYTHONPATH}
 LOG=scripts/tpu_queue.log
 for i in $(seq 1 40); do
   echo "QUEUE launch attempt $i $(date)" >> $LOG

@@ -55,7 +55,13 @@ import os as _os
 # envs per grid step. Overridable for perf experiments (MOCCA_TILE=2048
 # python bench.py): matrix-free PGS frees the ~14 MB Delassus block from
 # VMEM, which may admit larger tiles (better pipelining amortization).
-TILE = int(_os.environ.get("MOCCA_TILE", "1024"))
+# Read at BUILD time (current_tile), not import time, so one process can
+# sweep tile sizes by setting the env var between env constructions.
+def current_tile() -> int:
+    return int(_os.environ.get("MOCCA_TILE", "1024"))
+
+
+TILE = current_tile()              # import-time snapshot (back-compat)
 SUB = (TILE // 128, 128)   # physical tile shape
 
 
@@ -188,6 +194,15 @@ def supports(model: RobotModel, constraints=None, scene_has_stones=False) -> boo
 HF_PATCH = 16   # side of the per-env local heightfield patch (cells)
 
 
+def current_hf_patch() -> int:
+    """Build-time patch side (MOCCA_HF_PATCH override, default 16).
+
+    The XLA-side extraction einsum is O(B·P·G²) and 2i's decomposition put
+    it at ≈ the whole terrain-vs-flat gap, so P is worth sweeping: P=12
+    still spans 3.7 m (root-centered ±1.9 m vs ≈1.2 m robot reach)."""
+    return int(_os.environ.get("MOCCA_HF_PATCH", str(HF_PATCH)))
+
+
 def make_pallas_substep(
     model: RobotModel,
     config: EngineConfig,
@@ -237,6 +252,10 @@ def make_pallas_substep(
     ``interpret=True`` runs the kernel in the Pallas interpreter (CPU) — the
     equivalence-test path against the JAX oracle."""
     assert supports(model), "unsupported model for the fused kernel"
+    # Shadow the module-level tile shape with the build-time value so the
+    # whole kernel body (closures below) uses one consistent tile.
+    TILE = current_tile()
+    SUB = (TILE // 128, 128)
     K = int(num_stones)
     PHF = int(hf_patch)
     KB = int(num_bars)

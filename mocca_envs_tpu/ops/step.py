@@ -304,11 +304,11 @@ def make_substep(
             foot_contact=collide_mod.foot_contact_flags(model, contacts),
             link_contact=collide_mod.link_contact_mask(model, contacts),
         )
-        if config.warm_start:
-            # warm-start mode: expose λ so the llc unit can carry it into
-            # the next substep (4-tuple return — see EngineConfig.warm_start)
-            return q_new, qd_new, info, lam
-        return q_new, qd_new, info
+        # Uniform signature regardless of warm_start: always expose λ so the
+        # llc unit can carry it into the next substep (callers that don't
+        # warm-start just drop it — a config-dependent return arity proved
+        # fragile the moment warm_start became the default).
+        return q_new, qd_new, info, lam
 
     substep.minv_of = minv_of
     return substep
@@ -414,7 +414,7 @@ def _make_llc_unit(model: RobotModel, config: EngineConfig, substep,
 
             def sim(carry, _):
                 q, qd = carry
-                q, qd, info = substep(
+                q, qd, info, _lam = substep(
                     q, qd, tau_j, scene, grab_active, grab_target, Minv_in=Minv0
                 )
                 return (q, qd), info
@@ -424,7 +424,10 @@ def _make_llc_unit(model: RobotModel, config: EngineConfig, substep,
             )
             return q, qd, jax.tree.map(lambda x: x[-1], infos)
 
-        lam0 = jnp.zeros((nr_ws,), dtype=q.dtype) if config.warm_start else None
+        # zeros_like (not zeros): under shard_map the scan-carried λ is
+        # varying over the mesh axis, and a fresh constant would be
+        # unvarying — deriving from q inherits its varying-axes type.
+        lam0 = jnp.zeros_like(q, shape=(nr_ws,)) if config.warm_start else None
 
         if not pd_mode:
             if config.warm_start:
@@ -471,8 +474,8 @@ def _make_llc_unit(model: RobotModel, config: EngineConfig, substep,
 
     from mocca_envs_tpu.ops.pallas import engine as pallas_engine
 
-    TILE = pallas_engine.TILE
-    HF_PATCH = pallas_engine.HF_PATCH
+    TILE = pallas_engine.current_tile()
+    HF_PATCH = pallas_engine.current_hf_patch()
     has_grabs = constraints.num_grabs > 0
     _units: dict = {}   # (num_stones, has_hf) → custom_vmap'd llc unit
 

@@ -40,10 +40,11 @@ CASSIE_CONFIG = EngineConfig(
     dt=1.0 / 600.0,
     sim_substeps=2,
     llc_frames=10,
-    # block-PGS at 8 sweeps: 1.35M vs 1.24M control-steps/s for row@10 on
-    # hardware (round-2e bench), same physics gates
-    solver_iters=8,
-    block_pgs=True,
+    # Inherits the round-2i shipped solver defaults (block-PGS + matfree +
+    # warm-start@4 + reuse_factor): 2.78M control-steps/s on hardware vs
+    # 1.35M for round-2e's block@8 (scripts/tpu_round2i_results.jsonl),
+    # same physics gates. reuse_factor spans one llc frame's 2 substeps at
+    # 600 Hz — inertia drift within a frame is negligible at that rate.
 )
 
 

@@ -32,7 +32,7 @@ class EngineConfig:
     dt: float = 1.0 / 240.0
     sim_substeps: int = 4
     llc_frames: int = 1
-    solver_iters: int = 8
+    solver_iters: int = 4
     baumgarte: float = 0.2          # ERP-style position correction factor
     slop: float = 2e-3              # penetration allowed before correction [m]
     max_push_vel: float = 1.0       # cap on correction velocity [m/s]
@@ -41,19 +41,22 @@ class EngineConfig:
     # Solve each contact's two friction rows as a coupled 2×2 system per
     # sweep (ops/solver.pgs_solve block mode) — same fixed point as row PGS,
     # faster convergence, so fewer solver_iters buy equal accuracy. Default
-    # ON with solver_iters=8 since round 2d: +20% walker throughput with the
-    # full physics gate suite green (BENCH.md round-2 table).
+    # ON since round 2d (+20% walker throughput at 8 sweeps); since round 2i
+    # the default pairs block mode with warm_start at 4 sweeps (see below),
+    # full physics gate suite green (BENCH.md round-2 tables).
     block_pgs: bool = True
     # Reuse the mass-matrix Cholesky factor across the sim_substeps of one
     # llc frame (computed from the frame-start configuration). The inertia
     # matrix drifts O(|q̇|·dt) within a frame — negligible at Cassie's
     # 600 Hz × 2 substeps — while CRBA + factorization are a large share of
     # substep cost. Applied identically by the JAX oracle and the fused
-    # kernel (parity-gated in tests/test_pallas_engine.py). Default OFF: on
-    # TPU the carried factor raises VMEM pressure and the extra unrolled
-    # kernel body hurts pipelining more than the skipped CRBA+Cholesky helps
-    # (measured −8% Cassie, −5% walker — BENCH.md round-2 table).
-    reuse_factor: bool = False
+    # kernel (parity-gated in tests/test_pallas_engine.py). With the
+    # materialized Delassus it LOST 5-8% (round 2e: the carried (nv²,lane)
+    # factor raised VMEM pressure); with matfree_pgs freeing the A block it
+    # WINS (round 2i hardware matrix: mf_w4 4.51M → mf_w4_rf 4.60M walker
+    # env-steps/s at B=4096). Default ON since round 2i, paired with
+    # matfree_pgs.
+    reuse_factor: bool = True
     # Matrix-free PGS in the fused kernel: never materialize the Delassus
     # matrix A = WᵀW. The sweep instead carries z = W·λ (nv tiles) and
     # computes each row residual on demand as c_r + W_rᵀz + cfm·λ_r — the
@@ -64,7 +67,9 @@ class EngineConfig:
     # block in VMEM; matrix-free replaces both with 2·nv-per-row sweeps
     # (54 vs 120 ops/row for the walker) and nv carried tiles. Kernel-only
     # (the XLA oracle keeps the explicit A — its matmuls ride the MXU).
-    matfree_pgs: bool = False
+    # Default ON since round 2i: walker 2.43M → 3.94M env-steps/s alone,
+    # 4.60M combined with warm_start@4 + reuse_factor (BENCH.md).
+    matfree_pgs: bool = True
     # Warm-start PGS: seed each substep's impulses with the previous
     # substep's λ (zeros at each control step's first substep). The row
     # layout is static, so rows keep their meaning across substeps; the
@@ -74,7 +79,10 @@ class EngineConfig:
     # Applied identically by the JAX oracle and the fused kernel. With
     # warm_start on, the oracle substep returns (q', qd', info, λ) and
     # accepts lam_in — callers that enable it must thread the carry.
-    warm_start: bool = False
+    # Default ON at solver_iters=4 since round 2i: equal-accuracy physics
+    # gates at half the sweeps (w4 2.75M vs default 2.43M alone; 4.60M in
+    # the shipped mf_w4_rf combination — BENCH.md round-2i matrix).
+    warm_start: bool = True
     limit_margin: float = 0.15      # joint-limit rows activate within [rad|m]
     gravity: tuple = (0.0, 0.0, -9.8)  # pybullet default, SURVEY.md §2.3
     # Use the fused Pallas substep kernel (ops/pallas/engine.py) when the

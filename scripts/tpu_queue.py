@@ -30,13 +30,15 @@ if backend != "tpu":
     print(f"QUEUE: backend is {backend!r}, not tpu — exiting", flush=True)
     sys.exit(1)
 
-# Fresh workspace: ckpt/ is gone, so regenerate pretrain3 (2m) before the
-# stepper run (2j) that transfers from it. 2h's phase A (cont2 resume) will
-# no-op on the missing checkpoint and fall through to its independent
-# config-5 and monkey phases.
-for script in ("scripts/tpu_round2i.py", "scripts/tpu_round2m_pretrain.py",
-               "scripts/tpu_round2j.py", "scripts/tpu_round2h.py",
-               "scripts/tpu_round2k.py", "scripts/tpu_round2n_newdefaults.py"):
+# 2i (option matrix) and 2m (pretrain3 regen) completed earlier this round.
+# 2j was ABANDONED: its floor schedule annealed exploration away before the
+# 2m sprinter pretrain discovered any stone (u750: steps_reached 1.0,
+# entropy 3.5 and dropping) — 2n replaces it with a better-gated pretrain
+# and the validated constant-floor recipe under the new solver defaults.
+# 2h's phase A (cont2 resume) will no-op on the missing checkpoint and fall
+# through to its independent config-5 and monkey phases.
+for script in ("scripts/tpu_round2n_newdefaults.py", "scripts/tpu_round2h.py",
+               "scripts/tpu_round2k.py"):
     print(f"QUEUE: starting {script} at t={time.time()-t0:.0f}s", flush=True)
     try:
         runpy.run_path(script)

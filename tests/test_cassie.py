@@ -131,8 +131,15 @@ def test_gait_table_interpolation_and_stance():
 
 
 def test_phase_env_tracks_reference_motion():
-    """CassiePhaseEnv rewards poses matching the gait table: posing the
-    motors ON the reference row outscores posing them off it."""
+    """CassiePhaseEnv's imitation channel discriminates poses matching the
+    gait table from poses off it.
+
+    Gate on the tracking channel (``track_err`` → ``w_imitation·exp(-8e)``),
+    NOT total reward: a +0.6 rad crouch legitimately launches the pelvis
+    forward, and at converged contact accuracy (cold row-PGS @128 sweeps)
+    the speed term outscores the imitation delta — the old total-reward
+    assertion passed only under the under-converged round-2e solver
+    defaults (measured in round 2i when warm_start became the default)."""
     from mocca_envs_tpu.models import cassie
     from mocca_envs_tpu.models.cassie_gait import synthesized_walk
 
@@ -153,8 +160,11 @@ def test_phase_env_tracks_reference_motion():
 
     act = jnp.zeros(envp.act_dim)
     step = jax.jit(envp.step_no_reset)
-    r_on = float(step(posed(q_ref_dev), act).reward)
-    r_off = float(step(posed(q_ref_dev + 0.6), act).reward)
-    assert r_on > r_off, (r_on, r_off)
-    tr = step(posed(q_ref_dev), act)
-    assert float(tr.metrics["track_err"]) < 0.05
+    tr_on = step(posed(q_ref_dev), act)
+    tr_off = step(posed(q_ref_dev + 0.6), act)
+    e_on = float(tr_on.metrics["track_err"])
+    e_off = float(tr_off.metrics["track_err"])
+    assert e_on < 0.05, e_on
+    assert e_off > 10.0 * max(e_on, 1e-4), (e_on, e_off)
+    # and the imitation reward channel follows: exp(-8e) on-pose ≈ 1
+    assert np.exp(-8.0 * e_on) > 2.0 * np.exp(-8.0 * e_off)

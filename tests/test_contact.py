@@ -20,7 +20,7 @@ def _run(model, substep, q, qd, scene, n, tau=None):
 
     def body(carry, _):
         q, qd = carry
-        q, qd, info = substep(q, qd, tau_j, scene)
+        q, qd, info, _ = substep(q, qd, tau_j, scene)
         return (q, qd), None
 
     (q, qd), _ = jax.lax.scan(jax.jit(body), (q, qd), None, length=n)
@@ -49,7 +49,7 @@ def test_ball_never_penetrates_deeply():
 
     def body(carry, _):
         q, qd = carry
-        q, qd, info = substep(q, qd, tau_j, scene)
+        q, qd, info, _ = substep(q, qd, tau_j, scene)
         return (q, qd), q[2]
 
     (q, qd), zs = jax.lax.scan(jax.jit(body), (q, qd), None, length=600)
@@ -143,7 +143,7 @@ def test_energy_dissipates_not_gains():
 
     def body(carry, _):
         q, qd = carry
-        q, qd, _ = substep(q, qd, tau_j, scene)
+        q, qd, _, _ = substep(q, qd, tau_j, scene)
         return (q, qd), energy(q, qd)
 
     _, es = jax.lax.scan(jax.jit(body), (q, qd), None, length=500)

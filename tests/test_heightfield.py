@@ -57,7 +57,7 @@ def test_ball_rolls_on_heightfield():
     q = jnp.asarray(free_q(pos=(0.0, 0.0, 1.5)))
     qd = jnp.asarray(free_qd())
     for _ in range(500):
-        q, qd, info = sub(q, qd, jnp.zeros(model.nj), scene)
+        q, qd, info, _ = sub(q, qd, jnp.zeros(model.nj), scene)
     assert bool(jnp.all(jnp.isfinite(q)))
     # settled on the surface: center ≈ surface + radius (tolerant: slopes)
     surf = float(hf_sample(scene, q[0:2]))

@@ -20,7 +20,7 @@ def test_torque_cannot_push_past_limit():
     qd = jnp.zeros(model.nv)
     tau = jnp.full((model.nj,), 100.0)  # slam into the upper limit
     for _ in range(300):
-        q, qd, _ = sub(q, qd, tau, scene)
+        q, qd, _, _ = sub(q, qd, tau, scene)
     qj = float(q[7])
     assert qj <= float(model.limit_hi[0]) + 1e-5, qj
     # velocity at the limit is killed, not accumulating

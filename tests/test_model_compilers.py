@@ -215,6 +215,6 @@ def test_mjcf_simulates():
     q = jnp.concatenate([jnp.array([0.0, 0.0, 0.8]), jnp.array([1.0, 0, 0, 0]), jnp.zeros(2)])
     qd = jnp.zeros(model.nv)
     for _ in range(100):
-        q, qd, info = sub(q, qd, jnp.zeros(2), scene_mod.flat())
+        q, qd, info, _ = sub(q, qd, jnp.zeros(2), scene_mod.flat())
     assert bool(jnp.all(jnp.isfinite(q)))
     assert float(q[2]) > 0.0

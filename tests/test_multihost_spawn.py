@@ -83,6 +83,14 @@ _MIXED_WORKER = textwrap.dedent(
     )
     assert jax.process_count() == 2
 
+    # Initialize the Gloo collective context NOW, while both workers are at
+    # the same (cheap) point: the context is created lazily at the first
+    # collective, whose key-value rendezvous times out after 30 s — less
+    # than the compile-time skew of the mixed-suite train_step on a loaded
+    # machine (observed DEADLINE_EXCEEDED on cpu:gloo GetKeyValue).
+    from jax.experimental import multihost_utils
+    multihost_utils.sync_global_devices("gloo_warmup")
+
     import numpy as np
     from jax.sharding import Mesh
 
@@ -96,8 +104,18 @@ _MIXED_WORKER = textwrap.dedent(
     cfg = PPOConfig(horizon=2, num_epochs=1, num_minibatches=1, hidden=(16, 16))
     learner = PPOLearner(suite, cfg, mesh=mesh)
     state = learner.init(seed=0)
+
+    # AOT-compile BEFORE executing, then rendezvous on the coordination
+    # service (long timeout): XLA:CPU's Gloo context init gives a worker
+    # only 30 s at the first collective DISPATCH, which is less than the
+    # compile-time skew of this program on a loaded machine. Compiling on
+    # both workers first and barriering keeps dispatch skew at ~0.
+    compiled = learner.train_step.lower(state).compile()
+    from jax._src import distributed
+    distributed.global_state.client.wait_at_barrier(
+        "mixed_compiled", timeout_in_ms=900_000)
     for _ in range(2):
-        state, metrics = learner.train_step(state)
+        state, metrics = compiled(state)
     jax.block_until_ready(state.params)
 
     # replicated learner params must be bit-identical across hosts

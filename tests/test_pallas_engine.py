@@ -17,7 +17,13 @@ from mocca_envs_tpu.utils.config import EngineConfig
 from tests.models_util import hopper
 
 
-CFG = EngineConfig(sim_substeps=2, solver_iters=8)
+# Baseline for the narrowphase/constraint equivalence tests: solver options
+# pinned OFF so the hand-rolled oracle loops below (no λ/Minv threading)
+# stay exact mirrors of the kernel. Each solver option has its own
+# dedicated equivalence test, and test_pallas_shipped_defaults_match gates
+# the full default combination with proper carry threading.
+CFG = EngineConfig(sim_substeps=2, solver_iters=8,
+                   warm_start=False, reuse_factor=False, matfree_pgs=False)
 
 
 def _random_states(model, B, key):
@@ -59,7 +65,7 @@ def test_pallas_matches_jax_substep():
     def jax_path(q1, qd1, t1):
         qq, dd = q1, qd1
         for _ in range(CFG.sim_substeps):
-            qq, dd, info = sub(qq, dd, t1, scene)
+            qq, dd, info, _ = sub(qq, dd, t1, scene)
         return qq, dd, info.contacts.depth, info.normal_impulse
 
     q_j, qd_j, depth_j, nimp_j = jax.vmap(jax_path)(q, qd, tau)
@@ -83,7 +89,8 @@ def test_pallas_matfree_matches_aform_and_oracle():
     gz = jnp.zeros(B)
     fric = jnp.full((B,), 0.8)
 
-    cfg_mf = EngineConfig(sim_substeps=2, solver_iters=8, matfree_pgs=True)
+    cfg_mf = EngineConfig(sim_substeps=2, solver_iters=8, matfree_pgs=True,
+                          warm_start=False, reuse_factor=False)
     pal_mf = make_pallas_substep(model, cfg_mf, interpret=True)
     q_m, qd_m, depth_m, nimp_m = pal_mf(q, qd, tau, gz, fric)
 
@@ -101,7 +108,7 @@ def test_pallas_matfree_matches_aform_and_oracle():
     def jax_path(q1, qd1, t1):
         qq, dd = q1, qd1
         for _ in range(CFG.sim_substeps):
-            qq, dd, info = sub(qq, dd, t1, scene)
+            qq, dd, info, _ = sub(qq, dd, t1, scene)
         return qq, dd, info.contacts.depth, info.normal_impulse
 
     q_j, qd_j, depth_j, nimp_j = jax.vmap(jax_path)(q, qd, tau)
@@ -129,7 +136,8 @@ def test_pallas_warm_start_matches_oracle():
 
     for mf in (False, True):
         cfg = EngineConfig(
-            sim_substeps=4, solver_iters=4, warm_start=True, matfree_pgs=mf
+            sim_substeps=4, solver_iters=4, warm_start=True, matfree_pgs=mf,
+            reuse_factor=False,
         )
         pal = make_pallas_substep(model, cfg, interpret=True)
         q_p, qd_p, depth_p, nimp_p = pal(q, qd, tau, gz, fric)
@@ -181,7 +189,7 @@ def test_pallas_constraints_match_jax_substep():
     def jax_path(q1, qd1, t1, ga1, gt1):
         qq, dd = q1, qd1
         for _ in range(CFG.sim_substeps):
-            qq, dd, info = sub(qq, dd, t1, scene, ga1, gt1)
+            qq, dd, info, _ = sub(qq, dd, t1, scene, ga1, gt1)
         return qq, dd, info.contacts.depth, info.normal_impulse
 
     q_j, qd_j, depth_j, nimp_j = jax.vmap(jax_path)(q, qd, tau, ga, gt)
@@ -229,7 +237,7 @@ def test_pallas_heightfield_matches_jax_substep():
         )
         qq, dd = q1, qd1
         for _ in range(CFG.sim_substeps):
-            qq, dd, info = sub(qq, dd, t1, sc)
+            qq, dd, info, _ = sub(qq, dd, t1, sc)
         return qq, dd, info.contacts.depth, info.normal_impulse
 
     q_j, qd_j, depth_j, nimp_j = jax.vmap(jax_path)(q, qd, tau, hf, x0, y0, cell)
@@ -279,8 +287,8 @@ def test_hf_patch_extraction_equivalent():
     qf, qdf = q, qd
     qp, qdp = q, qd
     for _ in range(4):
-        qf, qdf, _ = sub(qf, qdf, tau, full)
-        qp, qdp, _ = sub(qp, qdp, tau, psc)
+        qf, qdf, _, _ = sub(qf, qdf, tau, full)
+        qp, qdp, _, _ = sub(qp, qdp, tau, psc)
     np.testing.assert_allclose(np.asarray(qf), np.asarray(qp), atol=1e-6)
     np.testing.assert_allclose(np.asarray(qdf), np.asarray(qdp), atol=1e-5)
 
@@ -326,7 +334,7 @@ def test_pallas_bars_matches_jax_substep():
         )
         qq, dd = q1, qd1
         for _ in range(CFG.sim_substeps):
-            qq, dd, info = sub(qq, dd, t1, sc)
+            qq, dd, info, _ = sub(qq, dd, t1, sc)
         return qq, dd, info.contacts.depth, info.normal_impulse
 
     q_j, qd_j, depth_j, nimp_j = jax.vmap(jax_path)(q, qd, tau, ba, bb, br, bact)
@@ -376,7 +384,7 @@ def test_pallas_stones_matches_jax_substep():
         sc = scene_mod.with_stones(sp1, sq1, sh1, sa1, ground_z=-5.0)
         qq, dd = q1, qd1
         for _ in range(CFG.sim_substeps):
-            qq, dd, info = sub(qq, dd, t1, sc)
+            qq, dd, info, _ = sub(qq, dd, t1, sc)
         return qq, dd, info.contacts.depth, info.normal_impulse
 
     q_j, qd_j, depth_j, nimp_j = jax.vmap(jax_path)(q, qd, tau, sp, sq, sh, sa)
@@ -397,7 +405,8 @@ def test_pallas_stones_matches_jax_substep():
 def test_pallas_block_pgs_matches_jax_substep():
     """Fused kernel with EngineConfig.block_pgs mirrors the JAX oracle's
     block solve exactly (same 2×2 friction inverses, same sweep order)."""
-    cfg = EngineConfig(sim_substeps=2, solver_iters=8, block_pgs=True)
+    cfg = EngineConfig(sim_substeps=2, solver_iters=8, block_pgs=True,
+                       warm_start=False, reuse_factor=False, matfree_pgs=False)
     model = hopper()
     B = TILE
     q, qd = _random_states(model, B, jax.random.key(21))
@@ -414,7 +423,7 @@ def test_pallas_block_pgs_matches_jax_substep():
     def jax_path(q1, qd1, t1):
         qq, dd = q1, qd1
         for _ in range(cfg.sim_substeps):
-            qq, dd, info = sub(qq, dd, t1, scene)
+            qq, dd, info, _ = sub(qq, dd, t1, scene)
         return qq, dd, info.contacts.depth, info.normal_impulse
 
     q_j, qd_j, depth_j, nimp_j = jax.vmap(jax_path)(q, qd, tau)
@@ -429,7 +438,8 @@ def test_pallas_reuse_factor_matches_jax_substep():
     """EngineConfig.reuse_factor: both paths hold the frame-start Cholesky
     factor fixed across a frame's substeps — and must agree with each other
     (the approximation is defined identically, so gates stay tight)."""
-    cfg = EngineConfig(sim_substeps=2, solver_iters=8, reuse_factor=True)
+    cfg = EngineConfig(sim_substeps=2, solver_iters=8, reuse_factor=True,
+                       warm_start=False, matfree_pgs=False)
     model = hopper()
     B = TILE
     q, qd = _random_states(model, B, jax.random.key(31))
@@ -449,7 +459,7 @@ def test_pallas_reuse_factor_matches_jax_substep():
         qq, dd = q1, qd1
         Minv0 = sub.minv_of(forward_kinematics(model, qq, dd))
         for _ in range(cfg.sim_substeps):
-            qq, dd, info = sub(qq, dd, t1, scene, Minv_in=Minv0)
+            qq, dd, info, _ = sub(qq, dd, t1, scene, Minv_in=Minv0)
         return qq, dd, info.contacts.depth, info.normal_impulse
 
     q_j, qd_j, depth_j, nimp_j = jax.vmap(jax_path)(q, qd, tau)
@@ -460,14 +470,56 @@ def test_pallas_reuse_factor_matches_jax_substep():
 
     # the approximation itself stays small over a frame: compare against the
     # exact per-substep factorization on the same inputs
-    sub_exact = make_substep(model, EngineConfig(sim_substeps=2, solver_iters=8))
+    sub_exact = make_substep(model, EngineConfig(
+        sim_substeps=2, solver_iters=8,
+        warm_start=False, reuse_factor=False, matfree_pgs=False))
 
     def exact_path(q1, qd1, t1):
         qq, dd = q1, qd1
         for _ in range(cfg.sim_substeps):
-            qq, dd, _ = sub_exact(qq, dd, t1, scene)
+            qq, dd, _, _ = sub_exact(qq, dd, t1, scene)
         return qq, dd
 
     q_e, qd_e = jax.vmap(exact_path)(q, qd, tau)
     assert float(jnp.mean(jnp.abs(q_j - q_e))) < 5e-4
     assert float(jnp.mean(jnp.abs(qd_j - qd_e))) < 5e-2
+
+
+@pytest.mark.slow
+def test_pallas_shipped_defaults_match():
+    """Kernel ≡ oracle at the SHIPPED EngineConfig() (matfree + warm_start@4
+    + reuse_factor since round 2i): the oracle loop threads the λ warm-start
+    carry and holds the frame-start Minv exactly as ops/step.jax_unit does."""
+    from mocca_envs_tpu.ops.kinematics import forward_kinematics
+    from mocca_envs_tpu.ops.step import limited_joints
+
+    cfg = EngineConfig()   # the defaults ARE the configuration under test
+    assert cfg.matfree_pgs and cfg.warm_start and cfg.reuse_factor
+    model = hopper()
+    B = TILE
+    q, qd = _random_states(model, B, jax.random.key(41))
+    tau = 0.5 * jax.random.normal(jax.random.key(42), (B, model.nj))
+    gz = jnp.zeros(B)
+    fric = jnp.full((B,), 0.8)
+    nr = len(limited_joints(model)) + 3 * model.ns
+
+    pal = make_pallas_substep(model, cfg, interpret=True)
+    q_p, qd_p, depth_p, nimp_p = pal(q, qd, tau, gz, fric)
+
+    sub = make_substep(model, cfg)
+    scene = scene_mod.flat()
+
+    def jax_path(q1, qd1, t1):
+        qq, dd = q1, qd1
+        lam = jnp.zeros(nr)
+        Minv0 = sub.minv_of(forward_kinematics(model, qq, dd))
+        for _ in range(cfg.sim_substeps):
+            qq, dd, info, lam = sub(qq, dd, t1, scene,
+                                    Minv_in=Minv0, lam_in=lam)
+        return qq, dd, info.contacts.depth, info.normal_impulse
+
+    q_j, qd_j, depth_j, nimp_j = jax.vmap(jax_path)(q, qd, tau)
+    np.testing.assert_allclose(np.asarray(q_p), np.asarray(q_j), atol=2e-4)
+    np.testing.assert_allclose(np.asarray(qd_p), np.asarray(qd_j), atol=5e-3)
+    np.testing.assert_allclose(np.asarray(depth_p), np.asarray(depth_j), atol=2e-4)
+    np.testing.assert_allclose(np.asarray(nimp_p), np.asarray(nimp_j), atol=5e-3)

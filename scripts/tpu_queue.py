@@ -38,7 +38,7 @@ if backend != "tpu":
 # 2h's phase A (cont2 resume) will no-op on the missing checkpoint and fall
 # through to its independent config-5 and monkey phases.
 for script in ("scripts/tpu_round2n_newdefaults.py", "scripts/tpu_round2h.py",
-               "scripts/tpu_round2k.py"):
+               "scripts/tpu_round2k.py", "scripts/tpu_round2o_polish.py"):
     print(f"QUEUE: starting {script} at t={time.time()-t0:.0f}s", flush=True)
     try:
         runpy.run_path(script)

@@ -37,8 +37,14 @@ if backend != "tpu":
 # and the validated constant-floor recipe under the new solver defaults.
 # 2h's phase A (cont2 resume) will no-op on the missing checkpoint and fall
 # through to its independent config-5 and monkey phases.
-for script in ("scripts/tpu_round2n_newdefaults.py", "scripts/tpu_round2h.py",
-               "scripts/tpu_round2k.py", "scripts/tpu_round2o_polish.py"):
+# 2o/2p (bench polish + b4096 fixed-cost decomposition) moved ahead of the
+# remaining learning runs: they inform the driver-headline bench directly.
+for script in ("scripts/tpu_round2n_newdefaults.py",
+               "scripts/tpu_round2o_polish.py",
+               "scripts/tpu_round2p_overhead.py",
+               "scripts/tpu_round2h.py",
+               "scripts/tpu_round2k.py",
+               "scripts/tpu_round2q_steppercont.py"):
     print(f"QUEUE: starting {script} at t={time.time()-t0:.0f}s", flush=True)
     try:
         runpy.run_path(script)

@@ -533,32 +533,19 @@ def _make_llc_unit(model: RobotModel, config: EngineConfig, substep,
         return unit
 
     def _hf_patch_args(q, scene: Scene):
-        """Extract the P×P local patch around the root (per control step —
-        the robot moves ~cm per step vs the ~2 m patch margin).
+        """P×P local patch around the root (per control step — the robot
+        moves ~cm per step vs the ~2 m patch margin). Shared primitive:
+        terrain/scene.extract_patch (one-hot MXU contraction; see its
+        docstring for the precision and clamping argument). A scene whose
+        grid already IS a patch — the terrain env pre-extracts so its obs
+        probes can ride the same window — passes through untouched."""
+        from mocca_envs_tpu.terrain import scene as scene_mod
 
-        NOT a dynamic_slice: under vmap that lowers to a per-env gather,
-        which Mosaic/XLA-TPU implements as slow scalar loops (measured ~7×
-        on Walker3DTerrainEnv throughput). A one-hot row/col selection is a
-        batched matmul that rides the MXU and is EXACT — each output element
-        has a single nonzero product, so accumulation order is irrelevant."""
-        P = HF_PATCH
-        H, W = scene.hf_height.shape
-        uv = (q[0:2] - scene.hf_xy0) / scene.hf_cell
-        si = jnp.clip(jnp.floor(uv[0]).astype(jnp.int32) - P // 2, 0, H - P)
-        sj = jnp.clip(jnp.floor(uv[1]).astype(jnp.int32) - P // 2, 0, W - P)
-        hf = scene.hf_height
-        rows = (
-            (si + jnp.arange(P))[:, None] == jnp.arange(H)[None, :]
-        ).astype(hf.dtype)                                     # (P, H)
-        cols = (
-            (sj + jnp.arange(P))[:, None] == jnp.arange(W)[None, :]
-        ).astype(hf.dtype)                                     # (P, W)
-        patch = jnp.einsum(
-            "ph,hw,qw->pq", rows, hf, cols, precision=jax.lax.Precision.HIGHEST
+        p = scene_mod.extract_patch(scene, q[0:2], HF_PATCH)
+        return (
+            p.hf_height, p.hf_xy0[0], p.hf_xy0[1],
+            jnp.broadcast_to(p.hf_cell, ()),
         )
-        px0 = scene.hf_xy0[0] + si.astype(patch.dtype) * scene.hf_cell
-        py0 = scene.hf_xy0[1] + sj.astype(patch.dtype) * scene.hf_cell
-        return patch, px0, py0, jnp.broadcast_to(scene.hf_cell, ())
 
     def pallas_unit(q, qd, tau_j, scene: Scene, grab_active=None, grab_target=None):
         has_hf = scene.has_hf

@@ -27,8 +27,25 @@ from mocca_envs_tpu.models import walker3d
 from mocca_envs_tpu.tasks import base as T
 from mocca_envs_tpu.tasks.walker_custom import WalkerParams, make_walker3d_custom
 from mocca_envs_tpu.terrain.heightfield import fractal_heightfield
-from mocca_envs_tpu.terrain.scene import Scene, hf_sample, hf_sample_onehot
+from mocca_envs_tpu.terrain.scene import (
+    Scene,
+    extract_patch,
+    hf_sample,
+    hf_sample_onehot,
+)
 from mocca_envs_tpu.utils.config import EngineConfig
+
+def _patch_side() -> int:
+    """The fused kernel's build-time patch side — the env pre-extracts at
+    the SAME size so ops/step's ``_hf_patch_args`` passes the window through
+    untouched (one extraction per control step, shared by narrowphase and
+    obs probes). Falls back to the default when pallas is unavailable."""
+    try:
+        from mocca_envs_tpu.ops.pallas import engine as pallas_engine
+
+        return pallas_engine.current_hf_patch()
+    except Exception:  # pragma: no cover - pallas unavailable
+        return 16
 
 # Terrain height probes appended to the obs (SURVEY.md §2.3 rayTest: the
 # reference ecosystem used ray probes for terrain perception; here vertical
@@ -104,12 +121,20 @@ def make_walker3d_terrain(
     offsets = jnp.asarray(PROBE_OFFSETS)
     K = offsets.shape[0]
 
-    def _probes(state: EnvState) -> jnp.ndarray:
+    P_SIDE = _patch_side()
+
+    def _probes(state: EnvState, sample_scene: Scene | None = None) -> jnp.ndarray:
         """K terrain heights around the robot, heading-frame ring, relative
         to the surface under the root — the env's terrain perception.
 
         One batched gather-free sample (K probes + root in a single one-hot
-        matmul — hf_sample under vmap would lower to TPU scalar loops)."""
+        matmul — hf_sample under vmap would lower to TPU scalar loops).
+        ``sample_scene`` lets the hot path contract against the control
+        step's pre-extracted P×P patch instead of the full grid (probes
+        reach ≤1.24 m from the root vs the (P/2−2)·cell ≈ 1.9 m patch
+        margin at P=16, and patch-border clamping coincides with
+        grid-border clamping — see terrain/scene.extract_patch)."""
+        scn = state.scene if sample_scene is None else sample_scene
         yaw = T.heading_yaw(state.q)
         c, s = jnp.cos(yaw), jnp.sin(yaw)
         world = state.q[0:2] + jnp.stack(
@@ -120,15 +145,30 @@ def make_walker3d_terrain(
             axis=1,
         )                                                    # (K, 2)
         pts = jnp.concatenate([world, state.q[None, 0:2]], axis=0)
-        h = hf_sample_onehot(state.scene, pts)
+        h = hf_sample_onehot(scn, pts)
         return h[:K] - h[K]
 
     def obs_fn(state: EnvState) -> jnp.ndarray:
         return jnp.concatenate([base.obs_fn(state), _probes(state)])
 
     def raw_step(state: EnvState, action):
-        tr = base.step_no_reset(state, action)
-        return tr.replace(obs=jnp.concatenate([tr.obs, _probes(tr.state)]))
+        # ONE P×P patch extraction per control step, shared by the fused
+        # kernel's hf narrowphase (ops/step._hf_patch_args passes a
+        # pre-extracted window through untouched), the terrain-aware fall
+        # test, and the obs probes — previously each contracted against the
+        # full 65² grid independently (round-2i decomposition: extraction
+        # and probes were each ≈ the whole terrain-vs-flat throughput gap).
+        patch = extract_patch(state.scene, state.q[0:2], P_SIDE)
+        tr = base.step_no_reset(state.replace(scene=patch), action)
+        st = tr.state.replace(scene=state.scene)   # carry the FULL grid
+        # base's reached-target z resample saw only the patch — targets land
+        # 3–7 m away, outside it — so re-pin z from the full grid (one
+        # sample, branchless; resampling an unchanged target is a no-op).
+        tgt = st.task.target
+        tz = hf_sample_onehot(state.scene, tgt[None, :2])[0]
+        st = st.replace(task=st.task.replace(target=tgt.at[2].set(tz)))
+        obs = jnp.concatenate([tr.obs, _probes(st, sample_scene=patch)])
+        return tr.replace(state=st, obs=obs)
 
     # extend the mirror maps: probe block permutes left/right, signs +1
     mirror = dict(base.mirror)

@@ -111,6 +111,48 @@ def hf_corners(scene: Scene, xy: jnp.ndarray):
     return h00, h10, h01, h11, fu, fv
 
 
+def extract_patch(scene: Scene, xy: jnp.ndarray, P: int) -> Scene:
+    """``P×P`` local heightfield window around world ``xy``, as a Scene.
+
+    The shared hot-path primitive behind the fused kernel's terrain
+    narrowphase AND the terrain env's obs probes: extract once per control
+    step, then every bilinear sample contracts against ``P×P`` instead of
+    the full grid (65² → 16²). Selection is a one-hot row/col contraction —
+    NOT a dynamic_slice, which under vmap lowers to per-env gathers that
+    Mosaic/XLA-TPU implement as scalar loops (measured 21× slower,
+    round 2n). One-hot selection is EXACT (each output element has a single
+    nonzero product); DEFAULT matmul precision is used deliberately: on TPU
+    its bf16 passes round the heights by ≤3.9 mm on ±0.25 m terrain
+    (measured, round 2i) — far under the 2 cm contact margin — and cost
+    0.21 vs HIGHEST's 0.30 µs/env at B=4096.
+
+    Window-border clamping coincides with full-grid border clamping for any
+    query within the patch margin (the patch is pinned to the grid edge
+    exactly when the root is near it), so samples of the patch equal samples
+    of the full grid for points within ``(P/2 − 2)·cell`` of ``xy`` (the
+    window is anchored at ``floor(center) − P/2``; when the center's
+    fractional cell coordinate approaches 1 the high side keeps only
+    ``P/2 − 2`` whole cells).
+    Grids not larger than a patch pass through unchanged (identity window).
+    """
+    H, W = scene.hf_height.shape
+    if H <= P and W <= P:
+        return scene
+    hf = scene.hf_height
+    uv = (xy - scene.hf_xy0) / scene.hf_cell
+    si = jnp.clip(jnp.floor(uv[0]).astype(jnp.int32) - P // 2, 0, H - P)
+    sj = jnp.clip(jnp.floor(uv[1]).astype(jnp.int32) - P // 2, 0, W - P)
+    rows = (
+        (si + jnp.arange(P))[:, None] == jnp.arange(H)[None, :]
+    ).astype(hf.dtype)                                         # (P, H)
+    cols = (
+        (sj + jnp.arange(P))[:, None] == jnp.arange(W)[None, :]
+    ).astype(hf.dtype)                                         # (P, W)
+    patch = jnp.einsum("ph,hw,qw->pq", rows, hf, cols)
+    xy0 = scene.hf_xy0 + jnp.stack([si, sj]).astype(hf.dtype) * scene.hf_cell
+    return scene.replace(hf_height=patch, hf_xy0=xy0)
+
+
 def hf_sample(scene: Scene, xy: jnp.ndarray) -> jnp.ndarray:
     """Bilinear heightfield sample at world ``xy`` (…, 2) → height (…,).
 

@@ -88,6 +88,68 @@ def test_walker_terrain_env_runs_and_keeps_terrain_across_resets():
     np.testing.assert_array_equal(np.asarray(state.scene.hf_height), hf_before)
 
 
+def test_extract_patch_matches_full_grid():
+    """The shared hot-path window (terrain/scene.extract_patch): bilinear
+    samples of the P×P patch equal samples of the full grid for any query
+    within the patch margin, including when the window clamps at the grid
+    border (the margin shrinks one-sidedly there exactly as grid clamping
+    does)."""
+    from mocca_envs_tpu.terrain.scene import extract_patch
+
+    h = fractal_heightfield(65, seed=11, use_native=False)
+    scene = with_heightfield(h, extent=20.0)
+    P = 16
+    cell = float(scene.hf_cell)
+    margin = (P / 2 - 2) * cell
+    rng = np.random.default_rng(0)
+    # centers spanning interior AND borders (clamped windows)
+    centers = rng.uniform(-10.0, 10.0, size=(32, 2)).astype(np.float32)
+    for c in centers:
+        patch = extract_patch(scene, jnp.asarray(c), P)
+        assert patch.hf_height.shape == (P, P)
+        offs = rng.uniform(-margin, margin, size=(16, 2)).astype(np.float32)
+        pts = jnp.asarray(np.clip(c + offs, -10.0, 10.0))
+        np.testing.assert_allclose(
+            np.asarray(hf_sample(patch, pts)),
+            np.asarray(hf_sample(scene, pts)),
+            atol=1e-6,
+        )
+    # grid no larger than a patch passes through unchanged
+    small = with_heightfield(h[:12, :12], extent=4.0)
+    same = extract_patch(small, jnp.zeros(2), P)
+    assert same.hf_height.shape == (12, 12)
+
+
+def test_terrain_step_probes_and_target_use_full_grid():
+    """walker_terrain.raw_step runs physics+probes off a pre-extracted patch
+    but must report probes identical to full-grid sampling and keep the
+    (possibly resampled) target's z pinned to the FULL grid, not the patch."""
+    import mocca_envs_tpu
+    from mocca_envs_tpu.tasks.walker_terrain import PROBE_OFFSETS
+
+    env = mocca_envs_tpu.make("Walker3DTerrainEnv")
+    K = PROBE_OFFSETS.shape[0]
+    state = env.init(jax.random.key(9))
+    step = jax.jit(env.step)
+    for _ in range(5):
+        tr = step(state, jnp.zeros(env.act_dim))
+        # probes in the step's obs == obs_fn on the post-step state, which
+        # samples the FULL grid (obs_fn has no patch argument)
+        np.testing.assert_allclose(
+            np.asarray(tr.obs[-K:]),
+            np.asarray(env.obs_fn(tr.state)[-K:]),
+            atol=2e-5,
+        )
+        # target z always equals the full-grid surface height at target xy
+        tgt = tr.state.task.target
+        np.testing.assert_allclose(
+            float(tgt[2]),
+            float(hf_sample(tr.state.scene, tgt[0:2])),
+            atol=2e-5,
+        )
+        state = tr.state
+
+
 def test_terrain_probes_in_obs():
     """Obs tail = K heading-frame terrain probes relative to the root's
     surface height (VERDICT r1 #6: terrain env must PERCEIVE terrain)."""

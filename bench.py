@@ -9,9 +9,17 @@ target (BASELINE.md — the reference itself publishes no numbers).
 Env knobs:
     BENCH_ENV     (default Walker3DCustomEnv-v0)  any registered env ID
     BENCH_BATCH   (default 4096)   env batch size
-    BENCH_STEPS   (default 50)     control steps per timed round
+    BENCH_STEPS   (default 600)    control steps per timed round
     BENCH_ROUNDS  (default 3)      timed rounds (best-of reported)
     BENCH_QUICK=1                  tiny smoke config for CPU
+
+Methodology note: the timed region is a jitted ``lax.scan`` of T full env
+steps. T must be large enough to amortize the per-execution dispatch
+overhead of the axon PJRT plugin (~30 ms/execute measured in round 2p —
+at the old T=50 that overhead was ~45% of the reported time). T=600 sits
+within 5% of the asymptotic steady-state rate fit in
+``scripts/tpu_round2p_results.jsonl`` while keeping rounds short; it
+matches production rollouts, which scan hundreds of steps per dispatch.
 """
 
 from __future__ import annotations
@@ -32,7 +40,7 @@ def main() -> None:
 
     quick = os.environ.get("BENCH_QUICK") == "1"
     B = int(os.environ.get("BENCH_BATCH", "64" if quick else "4096"))
-    T = int(os.environ.get("BENCH_STEPS", "5" if quick else "50"))
+    T = int(os.environ.get("BENCH_STEPS", "5" if quick else "600"))
     rounds = int(os.environ.get("BENCH_ROUNDS", "1" if quick else "3"))
 
     env_id = os.environ.get("BENCH_ENV", "Walker3DCustomEnv-v0")

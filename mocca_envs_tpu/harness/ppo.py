@@ -75,6 +75,20 @@ class PPOConfig:
     # is dynamic data (update_count-driven) — no recompile per change.
     log_std_min_final: float | None = None
     log_std_anneal_updates: int = 0
+    # LR SCHEDULE: linear ``lr → lr_final`` over ``lr_anneal_updates`` PPO
+    # updates, then hold. The schedule keys off the optimizer step count in
+    # opt_state (each PPO update runs num_epochs·num_minibatches optimizer
+    # steps — the conversion happens in __init__), so it checkpoints/resumes
+    # for free with the optimizer state.
+    lr_final: float | None = None
+    lr_anneal_updates: int = 0
+    # Running REWARD normalization ("value-norm"): scale rewards by the
+    # running std of the per-env discounted return before GAE, so the critic
+    # target keeps unit-ish scale as rewards grow over training. Subsumes the
+    # hand-tuned ``reward_scale`` (both compose; metrics always report RAW
+    # reward). State (per-env return accumulator + running var) lives in
+    # TrainState only when enabled, so old checkpoints restore unchanged.
+    normalize_reward: bool = False
 
 
 class RunningNorm(struct.PyTreeNode):
@@ -149,6 +163,30 @@ class TrainState(struct.PyTreeNode):
     key: jax.Array
     update_count: jnp.ndarray
     obs_norm: RunningNorm
+    # populated only when PPOConfig.normalize_reward (None keeps the pytree
+    # structure of pre-existing checkpoints intact)
+    ret_accum: Any = None   # (B,) per-env discounted-return accumulator
+    ret_norm: Any = None    # RunningNorm over the scalar return
+
+
+def discounted_return_scan(reward, done, accum, gamma):
+    """R_t = γ·R_{t−1}·(1−done_{t−1-ish}) + r_t over a (T, B) slice.
+
+    The accumulator resets AFTER a step that ends an episode (done applies
+    to the step that produced ``reward``, so the reset gates the NEXT
+    accumulation). Returns the (T, B) running returns and the carried (B,)
+    accumulator for the next rollout.
+    """
+
+    def body(acc, xs):
+        r, d = xs
+        acc = gamma * acc + r
+        ret = acc
+        acc = acc * (1.0 - d.astype(acc.dtype))
+        return acc, ret
+
+    accum, rets = jax.lax.scan(body, accum, (reward, done))
+    return rets, accum
 
 
 def gae(traj: Trajectory, last_value, gamma, lam):
@@ -211,9 +249,20 @@ class PPOLearner:
         if config.mirror_coef > 0.0 and self.mirror is None:
             raise ValueError(f"{env.name} has no mirror spec for mirror_coef")
         self.net = ActorCritic(env.act_dim, config.hidden)
+        if config.lr_final is not None and config.lr_anneal_updates > 0:
+            lr = optax.linear_schedule(
+                config.lr,
+                config.lr_final,
+                # optimizer steps per PPO update
+                config.lr_anneal_updates
+                * config.num_epochs
+                * config.num_minibatches,
+            )
+        else:
+            lr = config.lr
         self.tx = optax.chain(
             optax.clip_by_global_norm(config.max_grad_norm),
-            optax.adam(config.lr),
+            optax.adam(lr),
         )
         self._build()
 
@@ -242,6 +291,13 @@ class PPOLearner:
             key=key,
             update_count=jnp.zeros((), jnp.int32),
             obs_norm=RunningNorm.init(self.env.obs_dim),
+            ret_accum=(
+                jnp.zeros((self.num_envs,))
+                if self.config.normalize_reward else None
+            ),
+            ret_norm=(
+                RunningNorm.init(1) if self.config.normalize_reward else None
+            ),
         )
 
     # ----------------------------------------------------------------- build
@@ -314,13 +370,30 @@ class PPOLearner:
             return loss, (pg_loss, v_loss, entropy)
 
         def update_shard(params, opt_state, norm, env_state, obs, key, shard_key,
-                         floor):
+                         floor, ret_accum, ret_norm):
             env_state, obs, key, traj = rollout(
                 (params, norm, floor), env_state, obs, key
             )
             _, _, last_value = net.apply(params, _maybe_norm(norm, traj.last_obs))
+            raw_reward_mean = pmean(jnp.mean(traj.reward))
             if cfg.reward_scale != 1.0:
                 traj = traj.replace(reward=traj.reward * cfg.reward_scale)
+            if cfg.normalize_reward:
+                rets, ret_accum = discounted_return_scan(
+                    traj.reward, traj.done, ret_accum, cfg.gamma
+                )
+                rmean = pmean(jnp.mean(rets))
+                rvar = pmean(jnp.mean(jnp.square(rets - rmean)))
+                ret_norm = ret_norm.update(
+                    rmean[None], rvar[None],
+                    jnp.asarray(cfg.horizon * local_envs * n_shards, jnp.float32),
+                )
+                # scale-only (no mean shift — reward sign must survive), like
+                # the classic VecNormalize reward wrapper
+                rstd = jnp.sqrt(ret_norm.var[0] + 1e-8)
+                traj = traj.replace(
+                    reward=jnp.clip(traj.reward / rstd, -10.0, 10.0)
+                )
             adv, ret = gae(traj, last_value, cfg.gamma, cfg.gae_lambda)
 
             if cfg.normalize_obs:
@@ -378,9 +451,8 @@ class PPOLearner:
             )
             pg_loss, v_loss, entropy = jax.tree.map(jnp.mean, auxs)
             metrics = {
-                "reward_per_step": pmean(
-                    jnp.mean(traj.reward) / max(cfg.reward_scale, 1e-9)
-                ),
+                # raw env reward, captured before reward_scale / normalization
+                "reward_per_step": raw_reward_mean,
                 "episode_done_rate": pmean(jnp.mean(traj.done.astype(jnp.float32))),
                 "pg_loss": pmean(pg_loss),
                 "v_loss": pmean(v_loss),
@@ -388,6 +460,8 @@ class PPOLearner:
                 "adv_std": adv_std,
                 "log_std_floor": floor,
             }
+            if cfg.normalize_reward:
+                metrics["reward_norm_std"] = jnp.sqrt(ret_norm.var[0] + 1e-8)
             if traj.env_metrics is not None:
                 # env metric channels (SURVEY.md §5.5): batch means plus
                 # done-masked episode-END means — the honest per-episode
@@ -405,7 +479,8 @@ class PPOLearner:
                         pmean(jnp.mean(v * dmask)) / jnp.maximum(drate, 1e-9),
                         jnp.nan,
                     )
-            return params, opt_state, new_norm, env_state, obs, key, metrics
+            return (params, opt_state, new_norm, env_state, obs, key, metrics,
+                    ret_accum, ret_norm)
 
         if self.mesh is None:
 
@@ -415,10 +490,12 @@ class PPOLearner:
                 # Rollout consumes fold_in(key, 0), NOT key itself (mirrors
                 # the mesh path): the stored key's future splits never overlap
                 # the threefry streams the rollout already used.
-                params, opt_state, norm, env_state, obs, _, metrics = update_shard(
+                (params, opt_state, norm, env_state, obs, _, metrics,
+                 ret_accum, ret_norm) = update_shard(
                     state.params, state.opt_state, state.obs_norm,
                     state.env_state, state.obs, jax.random.fold_in(key, 0),
                     jax.random.fold_in(sk, 0), _floor_of(state.update_count),
+                    state.ret_accum, state.ret_norm,
                 )
                 return (
                     TrainState(
@@ -429,6 +506,8 @@ class PPOLearner:
                         key=key,
                         update_count=state.update_count + 1,
                         obs_norm=norm,
+                        ret_accum=ret_accum,
+                        ret_norm=ret_norm,
                     ),
                     metrics,
                 )
@@ -439,27 +518,35 @@ class PPOLearner:
             @functools.partial(
                 jax.shard_map,
                 mesh=mesh,
-                in_specs=(P(), P(), P(), P(ENV_AXIS), P(ENV_AXIS), P(), P()),
-                out_specs=(P(), P(), P(), P(ENV_AXIS), P(ENV_AXIS), P(), P()),
+                in_specs=(P(), P(), P(), P(ENV_AXIS), P(ENV_AXIS), P(), P(),
+                          P(ENV_AXIS), P()),
+                out_specs=(P(), P(), P(), P(ENV_AXIS), P(ENV_AXIS), P(), P(),
+                           P(ENV_AXIS), P()),
                 check_vma=False,
             )
-            def sharded_update(params, opt_state, norm, env_state, obs, key, floor):
+            def sharded_update(params, opt_state, norm, env_state, obs, key,
+                               floor, ret_accum, ret_norm):
                 idx = jax.lax.axis_index(ENV_AXIS)
                 key, sk = jax.random.split(key)
                 shard_key = jax.random.fold_in(sk, idx)
-                params, opt_state, norm, env_state, obs, _, metrics = update_shard(
+                (params, opt_state, norm, env_state, obs, _, metrics,
+                 ret_accum, ret_norm) = update_shard(
                     params, opt_state, norm, env_state, obs,
                     jax.random.fold_in(key, idx), shard_key, floor,
+                    ret_accum, ret_norm,
                 )
                 # grads + norm stats were psum-averaged → replicas identical
-                return params, opt_state, norm, env_state, obs, key, metrics
+                return (params, opt_state, norm, env_state, obs, key, metrics,
+                        ret_accum, ret_norm)
 
             @functools.partial(jax.jit, donate_argnums=(0,))
             def train_step(state: TrainState):
-                params, opt_state, norm, env_state, obs, key, metrics = sharded_update(
+                (params, opt_state, norm, env_state, obs, key, metrics,
+                 ret_accum, ret_norm) = sharded_update(
                     state.params, state.opt_state, state.obs_norm,
                     state.env_state, state.obs, state.key,
                     _floor_of(state.update_count),
+                    state.ret_accum, state.ret_norm,
                 )
                 return (
                     TrainState(
@@ -470,6 +557,8 @@ class PPOLearner:
                         key=key,
                         update_count=state.update_count + 1,
                         obs_norm=norm,
+                        ret_accum=ret_accum,
+                        ret_norm=ret_norm,
                     ),
                     metrics,
                 )

@@ -69,6 +69,14 @@ def parse_args(argv=None):
     p.add_argument("--reset-log-std", type=float, default=None,
                    help="re-open exploration at --init-from transfer by "
                    "resetting the policy log-std to this value")
+    p.add_argument("--lr-final", type=float, default=None,
+                   help="anneal the learning rate linearly to this value "
+                   "over --lr-anneal updates, then hold")
+    p.add_argument("--lr-anneal", type=int, default=0,
+                   help="updates over which the LR anneals (0 = constant)")
+    p.add_argument("--normalize-reward", action="store_true",
+                   help="scale rewards by the running std of the discounted "
+                   "return before GAE (subsumes hand-tuned --reward-scale)")
     # multi-host (BASELINE config 5: N≥2 hosts feed one PPO learner).
     # With no flags and a TPU-pod environment, jax.distributed autodetects.
     p.add_argument("--multihost", action="store_true",
@@ -127,6 +135,9 @@ def main(argv=None):
         log_std_min_final=args.log_std_min_final,
         log_std_anneal_updates=args.log_std_anneal,
         reward_scale=args.reward_scale,
+        lr_final=args.lr_final,
+        lr_anneal_updates=args.lr_anneal,
+        normalize_reward=args.normalize_reward,
     )
     learner = PPOLearner(env, cfg, mesh=mesh, num_envs=args.num_envs)
     state = learner.init(seed=args.seed)

@@ -129,6 +129,69 @@ def test_ppo_log_std_floor_schedule(env):
     np.testing.assert_allclose(floors, [-1.0, -1.5, -2.0, -2.0], atol=1e-6)
 
 
+def test_discounted_return_scan_matches_hand_rollout():
+    """R_t = γR+r with post-done reset, carried across rollout boundaries."""
+    from mocca_envs_tpu.harness.ppo import discounted_return_scan
+
+    gamma = 0.5
+    reward = jnp.array([[1.0], [1.0], [2.0], [4.0]])
+    done = jnp.array([[0.0], [1.0], [0.0], [0.0]])
+    rets, accum = discounted_return_scan(
+        reward, done, jnp.zeros((1,)), gamma
+    )
+    # t0: 1; t1: 0.5+1=1.5 (episode ends AFTER this step); t2: 2; t3: 1+4=5
+    np.testing.assert_allclose(
+        np.asarray(rets)[:, 0], [1.0, 1.5, 2.0, 5.0], atol=1e-6
+    )
+    np.testing.assert_allclose(np.asarray(accum), [5.0], atol=1e-6)
+
+
+@pytest.mark.slow
+def test_ppo_lr_schedule_and_reward_norm(env):
+    """lr_final/lr_anneal_updates anneal the optimizer LR with the opt-state
+    step count; normalize_reward carries per-env return accumulators and a
+    running return std, while reward_per_step still reports RAW reward."""
+    cfg = PPOConfig(
+        horizon=4, num_epochs=1, num_minibatches=2, hidden=(16, 16),
+        lr=1e-3, lr_final=0.0, lr_anneal_updates=2, normalize_reward=True,
+    )
+    learner = PPOLearner(env, cfg, mesh=None, num_envs=16)
+    state = learner.init(seed=0)
+    assert state.ret_accum.shape == (16,)
+    r_raw = []
+    for _ in range(3):
+        state, metrics = learner.train_step(state)
+        r_raw.append(float(metrics["reward_per_step"]))
+        assert np.isfinite(float(metrics["reward_norm_std"]))
+    # the running return std moved off its 1.0 init and stayed positive
+    assert float(state.ret_norm.var[0]) != 1.0
+    assert float(state.ret_norm.var[0]) > 0.0
+    assert all(np.isfinite(r_raw))
+    # after 2 anneal updates (= 4 optimizer steps) LR is 0 → params frozen
+    p_before = jax.tree.leaves(state.params)[0].copy()
+    state, _ = learner.train_step(state)
+    np.testing.assert_allclose(
+        jax.tree.leaves(state.params)[0], p_before, atol=0.0
+    )
+
+
+@pytest.mark.slow
+def test_ppo_reward_norm_sharded_matches_replicas(env):
+    """normalize_reward under the mesh path: return stats are psum-merged so
+    ret_norm stays replicated and the update runs to finite params."""
+    mesh = env_mesh()
+    cfg = PPOConfig(
+        horizon=4, num_epochs=1, num_minibatches=1, hidden=(16, 16),
+        normalize_reward=True,
+    )
+    learner = PPOLearner(env, cfg, mesh=mesh, num_envs=32)
+    state = learner.init(seed=1)
+    state, metrics = learner.train_step(state)
+    assert np.isfinite(float(metrics["reward_norm_std"]))
+    assert state.ret_accum.shape == (32,)
+    assert bool(jnp.all(jnp.isfinite(jax.tree.leaves(state.params)[0])))
+
+
 @pytest.mark.slow
 def test_ppo_single_device_update(env):
     cfg = PPOConfig(horizon=8, num_epochs=1, num_minibatches=2, hidden=(32, 32))

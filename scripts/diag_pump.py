@@ -8,33 +8,25 @@ default 1.0 m/s) is mixed into the REAL velocity, so every limb slam
 converts penetration depth into kinetic energy (the classic Baumgarte-pump;
 engines fix it with split impulse — roadmap).
 
-This script measures z drift vs max_push_vel on the XLA path (kernel and
-oracle share the bias formula) so the default can be chosen on evidence.
+This script measures z drift vs max_push_vel (kernel and oracle share the
+bias formula) so the default can be chosen on evidence. Run it on the TPU
+(fused kernel engages at B a multiple of 1024; the CPU oracle path takes
+~8 min per config at B=64):
 
-  env -u PALLAS_AXON_POOL_IPS JAX_PLATFORMS=cpu PYTHONPATH=/root/repo \
-      python scripts/diag_pump.py
+  PYTHONPATH=/root/repo:/root/.axon_site python scripts/diag_pump.py
 """
 
-import os
-
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
 import dataclasses
 import json
 
 import jax
-
-jax.config.update(
-    "jax_compilation_cache_dir",
-    os.path.join(os.path.dirname(__file__), "..", ".jax_cache"),
-)
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 import jax.numpy as jnp
 
 import mocca_envs_tpu
 from mocca_envs_tpu.core import rng as rng_mod
 from mocca_envs_tpu.utils.config import EngineConfig
 
-B, T = 64, 2000
+B, T = 1024, 2000
 
 
 def run(env_id, push):

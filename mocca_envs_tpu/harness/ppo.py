@@ -249,6 +249,13 @@ class PPOLearner:
         if config.mirror_coef > 0.0 and self.mirror is None:
             raise ValueError(f"{env.name} has no mirror spec for mirror_coef")
         self.net = ActorCritic(env.act_dim, config.hidden)
+        if (config.lr_final is not None) != (config.lr_anneal_updates > 0):
+            raise ValueError(
+                "lr_final and lr_anneal_updates must be set together "
+                f"(got lr_final={config.lr_final}, "
+                f"lr_anneal_updates={config.lr_anneal_updates}); passing "
+                "only one would silently run a constant LR"
+            )
         if config.lr_final is not None and config.lr_anneal_updates > 0:
             lr = optax.linear_schedule(
                 config.lr,
@@ -362,9 +369,28 @@ class PPOLearner:
                 # applied to mirrored obs with UNmirrored stats — the stats
                 # symmetrize as the gait does, and the loss needs only
                 # consistency, not exactness.
-                m_obs = obs[:, m["obs_perm"]] * m["obs_sign"]
+                if m.get("family"):
+                    # MixedSuite: per-family maps, selected per ROW via the
+                    # one-hot family tag in the obs tail (harness/mixed).
+                    # Families without a spec carry the identity — zero
+                    # residual rows, so the loss is active exactly where a
+                    # mirror exists (VERDICT r2 weak #3).
+                    Kf = int(m["num_families"])
+                    tag = obs[:, -Kf:]
+                    m_obs_f = jnp.stack(
+                        [obs[:, m["obs_perms"][f]] * m["obs_signs"][f]
+                         for f in range(Kf)]
+                    )                                       # (K, mb, obs)
+                    m_obs = jnp.einsum("bf,fbd->bd", tag, m_obs_f)
+                    tgt_f = jnp.stack(
+                        [mean[:, m["act_perms"][f]] * m["act_signs"][f]
+                         for f in range(Kf)]
+                    )
+                    tgt_mean = jnp.einsum("bf,fbd->bd", tag, tgt_f)
+                else:
+                    m_obs = obs[:, m["obs_perm"]] * m["obs_sign"]
+                    tgt_mean = mean[:, m["act_perm"]] * m["act_sign"]
                 m_mean, _, _ = net.apply(params, _maybe_norm(norm, m_obs))
-                tgt_mean = mean[:, m["act_perm"]] * m["act_sign"]
                 msl = jnp.mean(jnp.square(m_mean - tgt_mean))
                 loss = loss + cfg.mirror_coef * msl
             return loss, (pg_loss, v_loss, entropy)
@@ -466,17 +492,30 @@ class PPOLearner:
                 # env metric channels (SURVEY.md §5.5): batch means plus
                 # done-masked episode-END means — the honest per-episode
                 # statistic (e.g. ALLSTEPS "stones reached per episode"
-                # rather than a mid-episode snapshot)
+                # rather than a mid-episode snapshot). VALID-masked: a
+                # channel may be NaN outside its slots (MixedSuite's
+                # per-family union channels span the whole batch with NaN
+                # off-family); means run over the finite slots only. Every
+                # shard holds equal family proportions (family sub-batches
+                # shard over the same mesh), so pmean-of-shard-means stays
+                # the true mean.
                 dmask = traj.done.astype(jnp.float32)
-                drate = pmean(jnp.mean(dmask))
                 for k, v in traj.env_metrics.items():
                     v = v.astype(jnp.float32)
-                    metrics["env/" + k] = pmean(jnp.mean(v))
+                    valid = jnp.isfinite(v).astype(jnp.float32)
+                    vz = jnp.where(valid > 0.0, v, 0.0)
+                    vrate = pmean(jnp.mean(valid))
+                    metrics["env/" + k] = jnp.where(
+                        vrate > 0.0,
+                        pmean(jnp.mean(vz)) / jnp.maximum(vrate, 1e-9),
+                        jnp.nan,
+                    )
                     # NaN (not 0) when the batch contains no episode ends —
                     # a fabricated 0 would read as "policy scores 0"
+                    dv_rate = pmean(jnp.mean(dmask * valid))
                     metrics["ep_end/" + k] = jnp.where(
-                        drate > 0.0,
-                        pmean(jnp.mean(v * dmask)) / jnp.maximum(drate, 1e-9),
+                        dv_rate > 0.0,
+                        pmean(jnp.mean(vz * dmask)) / jnp.maximum(dv_rate, 1e-9),
                         jnp.nan,
                     )
             return (params, opt_state, new_norm, env_state, obs, key, metrics,

@@ -88,6 +88,43 @@ def parse_args(argv=None):
     return p.parse_args(argv)
 
 
+def restore_compat(ckpt, state, num_envs: int):
+    """Restore ``state`` tolerating a --normalize-reward flag mismatch.
+
+    ``TrainState.ret_accum``/``ret_norm`` are pytree leaves only when the run
+    that SAVED the checkpoint had normalize_reward on (they default to None,
+    which orbax treats as structure).  A checkpoint saved on one side of the
+    flag therefore fails orbax StandardRestore into a template built on the
+    other side.  Both the ``--ckpt-dir`` resume and the ``--init-from``
+    transfer path (the ALLSTEPS pretrain recipe) must survive the flip, so:
+    try the template as-is, then retry with the alternate shape and
+    attach/drop the reward-norm stats accordingly.
+    """
+    try:
+        return ckpt.restore(state)
+    except Exception:
+        pass
+    if state.ret_accum is not None:
+        # checkpoint predates --normalize-reward: restore the flag-off
+        # structure, keep this run's fresh accumulator/normalizer
+        bare = state.replace(ret_accum=None, ret_norm=None)
+        restored = ckpt.restore(bare)
+        return restored.replace(
+            ret_accum=state.ret_accum, ret_norm=state.ret_norm
+        )
+    # checkpoint was saved WITH --normalize-reward but this run is flag-off:
+    # restore with placeholder stats of the canonical shapes, then drop them
+    import jax.numpy as jnp
+
+    from mocca_envs_tpu.harness.ppo import RunningNorm
+
+    full = state.replace(
+        ret_accum=jnp.zeros((num_envs,)), ret_norm=RunningNorm.init(1)
+    )
+    restored = ckpt.restore(full)
+    return restored.replace(ret_accum=None, ret_norm=None)
+
+
 def main(argv=None):
     args = parse_args(argv)
     logging.basicConfig(level=logging.INFO, format="%(asctime)s %(message)s")
@@ -154,8 +191,10 @@ def main(argv=None):
             src_env, _dc.replace(cfg, mirror_coef=0.0),
             mesh=mesh, num_envs=args.num_envs,
         )
-        src_state = CheckpointManager(args.init_from).restore(
-            src_learner.init(seed=args.seed)
+        src_state = restore_compat(
+            CheckpointManager(args.init_from),
+            src_learner.init(seed=args.seed),
+            args.num_envs,
         )
         state = transfer_train_state(
             src_state, state, reset_log_std=args.reset_log_std
@@ -168,7 +207,7 @@ def main(argv=None):
     ckpt = CheckpointManager(args.ckpt_dir) if args.ckpt_dir else None
     start_update = 0
     if ckpt is not None and ckpt.latest_step() is not None:
-        state = ckpt.restore(state)
+        state = restore_compat(ckpt, state, args.num_envs)
         start_update = int(state.update_count)
         logging.info("resumed from update %d", start_update)
 

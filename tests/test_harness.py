@@ -190,6 +190,16 @@ def test_ppo_reward_norm_sharded_matches_replicas(env):
     assert np.isfinite(float(metrics["reward_norm_std"]))
     assert state.ret_accum.shape == (32,)
     assert bool(jnp.all(jnp.isfinite(jax.tree.leaves(state.params)[0])))
+    # the psum merge must leave ret_norm REPLICATED: every device holds the
+    # same (count, mean, var) — a broken merge diverges per-shard stats
+    for leaf in (state.ret_norm.count, state.ret_norm.mean, state.ret_norm.var):
+        shards = [np.asarray(s.data) for s in leaf.addressable_shards]
+        assert len(shards) == mesh.size
+        for s in shards[1:]:
+            np.testing.assert_array_equal(s, shards[0])
+    # (a cross-run comparison vs mesh=None is NOT valid here: the sharded
+    # rollout folds shard ids into its key stream, so trajectories differ —
+    # replication of the merged stats is the property the psum buys)
 
 
 @pytest.mark.slow
@@ -269,6 +279,88 @@ def test_checkpoint_roundtrip(env, tmp_path):
         np.asarray(state.env_state.q), np.asarray(restored.env_state.q)
     )
     mgr.close()
+
+
+@pytest.mark.slow
+def test_restore_compat_across_normalize_reward_flip(env, tmp_path):
+    """A checkpoint saved WITHOUT --normalize-reward must restore into a
+    flag-ON learner (the ALLSTEPS --init-from transfer recipe) and vice
+    versa — ADVICE r2: ret_accum/ret_norm presence is pytree STRUCTURE, so
+    a naive StandardRestore fails on the flip."""
+    from mocca_envs_tpu.harness.train import restore_compat
+
+    base = dict(horizon=4, num_epochs=1, num_minibatches=1, hidden=(16, 16))
+    off = PPOLearner(env, PPOConfig(**base), mesh=None, num_envs=8)
+    st_off = off.init(seed=2)
+    st_off, _ = off.train_step(st_off)
+    mgr = CheckpointManager(str(tmp_path / "off"))
+    mgr.save(1, st_off)
+    mgr.wait()
+
+    # flag-off checkpoint → flag-on run: params restore, fresh norm attaches
+    on = PPOLearner(
+        env, PPOConfig(normalize_reward=True, **base), mesh=None, num_envs=8
+    )
+    # (train the flag-on learner FIRST: restore_compat's output aliases its
+    # template's ret_accum, and train_step donates its input)
+    st_on2, _ = on.train_step(on.init(seed=7))
+    got = restore_compat(mgr, on.init(seed=7), num_envs=8)
+    for a, b in zip(jax.tree.leaves(st_off.params), jax.tree.leaves(got.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    assert got.ret_accum is not None and got.ret_norm is not None
+    # and the restored state must run
+    got, _ = on.train_step(got)
+    mgr.close()
+
+    # flag-on checkpoint → flag-off run: stats drop, params restore
+    mgr2 = CheckpointManager(str(tmp_path / "on"))
+    mgr2.save(1, st_on2)
+    mgr2.wait()
+    got2 = restore_compat(mgr2, off.init(seed=9), num_envs=8)
+    for a, b in zip(jax.tree.leaves(st_on2.params), jax.tree.leaves(got2.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    assert got2.ret_accum is None and got2.ret_norm is None
+    mgr2.close()
+
+
+def test_lr_schedule_flags_must_pair(env):
+    """ADVICE r2: passing only one of lr_final / lr_anneal_updates is a
+    silent constant-LR footgun — must raise."""
+    base = dict(horizon=4, num_epochs=1, num_minibatches=1, hidden=(16, 16))
+    with pytest.raises(ValueError, match="lr_final"):
+        PPOLearner(env, PPOConfig(lr_final=0.0, **base), mesh=None, num_envs=8)
+    with pytest.raises(ValueError, match="lr_final"):
+        PPOLearner(
+            env, PPOConfig(lr_anneal_updates=10, **base), mesh=None, num_envs=8
+        )
+
+
+@pytest.mark.slow
+def test_mixed_suite_per_family_metrics_and_mirror():
+    """Config-5 CPU slice (VERDICT r2 #7): the mixed suite must surface
+    NAMESPACED per-family metric channels (NaN-masked union) and an ACTIVE
+    family-selected mirror loss."""
+    from mocca_envs_tpu.harness.mixed import MixedSuite
+
+    suite = MixedSuite(("Walker3DCustomEnv", "Monkey3DStepperEnv"), (8, 8))
+    # family-stacked mirror spec: walker has a spec, monkey gets identity
+    assert suite.mirror is not None and suite.mirror["family"]
+    assert suite.mirror["obs_perms"].shape == (2, suite.obs_dim)
+
+    cfg = PPOConfig(horizon=4, num_epochs=1, num_minibatches=1,
+                    hidden=(16, 16), mirror_coef=0.1)
+    learner = PPOLearner(suite, cfg, mesh=None, num_envs=16)
+    state = learner.init(seed=0)
+    state, metrics = learner.train_step(state)
+    # per-family channels present with finite batch means
+    for ch in ("env/Walker3DCustomEnv/progress",
+               "env/Walker3DCustomEnv/episode_steps",
+               "env/Monkey3DStepperEnv/bars_reached"):
+        assert ch in metrics, sorted(metrics)
+        assert np.isfinite(float(metrics[ch])), ch
+    assert float(metrics["env/Walker3DCustomEnv/episode_steps"]) > 0.0
+    # the update ran to finite params with the mirror loss on
+    assert bool(jnp.all(jnp.isfinite(jax.tree.leaves(state.params)[0])))
 
 
 # ------------------------------------------------------------------ metrics

@@ -101,8 +101,12 @@ _MIXED_WORKER = textwrap.dedent(
     # sharded over all 4 devices of the 2-process cluster, ONE learner.
     mesh = Mesh(np.array(jax.devices()), ("env",))
     suite = MixedSuite(MixedSuite.DEFAULT, (4, 4, 4))
-    cfg = PPOConfig(horizon=2, num_epochs=1, num_minibatches=1, hidden=(16, 16))
+    # mirror_coef ACTIVE: the suite's family-stacked mirror spec must build
+    # and train under the mesh (VERDICT r2 #7)
+    cfg = PPOConfig(horizon=2, num_epochs=1, num_minibatches=1, hidden=(16, 16),
+                    mirror_coef=0.1)
     learner = PPOLearner(suite, cfg, mesh=mesh)
+    assert learner.mirror is not None and learner.mirror.get("family")
     state = learner.init(seed=0)
 
     # AOT-compile BEFORE executing, then rendezvous on the coordination
@@ -117,6 +121,13 @@ _MIXED_WORKER = textwrap.dedent(
     for _ in range(2):
         state, metrics = compiled(state)
     jax.block_until_ready(state.params)
+
+    # per-family metric channels survive the mixed merge (VERDICT r2 #7):
+    # every family contributes namespaced env/ channels with finite means
+    for ch in ("env/Walker3DCustomEnv/progress", "env/CassieEnv/track_err",
+               "env/Monkey3DStepperEnv/bars_reached"):
+        assert ch in metrics, sorted(metrics)
+        assert np.isfinite(float(metrics[ch])), ch
 
     # replicated learner params must be bit-identical across hosts
     assert multihost.check_replica_divergence(state.params)

@@ -383,6 +383,13 @@ def _make_llc_unit(model: RobotModel, config: EngineConfig, substep,
     nr_ws = constraints.ne + len(limited_joints(model)) + 3 * model.ns
 
     def jax_unit(q, qd, tau_or_targets, scene, grab_active=None, grab_target=None):
+        # stone-culling fast path (EngineConfig.stone_window): narrowphase
+        # only the window nearest the root, re-selected once per control
+        # step. Applied on BOTH engine paths so CPU ≡ TPU trajectories.
+        from mocca_envs_tpu.terrain.scene import cull_stones
+
+        scene = cull_stones(scene, q[0:2], config.stone_window)
+
         def one_llc(q, qd, lam=None):
             if pd_mode:
                 qj = q[7:] if model.floating else q
@@ -548,6 +555,12 @@ def _make_llc_unit(model: RobotModel, config: EngineConfig, substep,
         )
 
     def pallas_unit(q, qd, tau_j, scene: Scene, grab_active=None, grab_target=None):
+        # same culling as jax_unit — the kernel then compiles for K=window
+        # boxes (the fallback inside _get_unit sees the culled set too, so
+        # kernel ≡ oracle is preserved by construction)
+        from mocca_envs_tpu.terrain.scene import cull_stones
+
+        scene = cull_stones(scene, q[0:2], config.stone_window)
         has_hf = scene.has_hf
         if has_hf and min(scene.hf_height.shape) < HF_PATCH:
             # grid smaller than a patch: stay on the JAX path (trace-time)

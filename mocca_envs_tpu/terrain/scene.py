@@ -90,6 +90,41 @@ def with_stones(
     )
 
 
+def cull_stones(scene: Scene, root_xy: jnp.ndarray, window: int) -> Scene:
+    """Narrowphase only the ``window`` stones nearest the robot root.
+
+    One env (vmap for a batch). Selection score is xy center distance minus
+    the stone's bounding radius (‖half‖ — conservative for any orientation);
+    inactive stones rank last. Re-selected once per control step: the root
+    moves ~cm per step against a multi-meter window margin, and top_k over
+    K≈20 is noise next to the 4-substep kernel it shrinks. EXACT whenever
+    every stone within contact range of any collision sphere ranks inside
+    the window (robot reach ≈1.2 m; at the tightest stage-0 spacing ≤3
+    stones can be near touch range at once — gated by
+    tests/test_stepper.py::test_stone_culling_exact).
+
+    Replaces the reference's Bullet broadphase for stone scenes
+    (``env_locomotion.py::Walker3DStepperEnv`` scene boxes, SURVEY.md §2.3
+    createCollisionShape row) with a shape-static top_k — no tree, no
+    dynamic contact counts.
+    """
+    if not scene.has_stones or window <= 0:
+        return scene
+    K = scene.stone_pos.shape[-2]
+    if window >= K:
+        return scene
+    d = jnp.linalg.norm(scene.stone_pos[:, :2] - root_xy[None, :], axis=-1)
+    score = d - jnp.linalg.norm(scene.stone_half, axis=-1)
+    score = jnp.where(scene.stone_active > 0.5, score, 1e9)
+    _, idx = jax.lax.top_k(-score, window)
+    return scene.replace(
+        stone_pos=scene.stone_pos[idx],
+        stone_quat=scene.stone_quat[idx],
+        stone_half=scene.stone_half[idx],
+        stone_active=scene.stone_active[idx],
+    )
+
+
 def hf_corners(scene: Scene, xy: jnp.ndarray):
     """Bilinear cell lookup at world ``xy`` (…, 2): the 4 corner heights and
     the in-cell fractions ``(h00, h10, h01, h11, fu, fv)``; clamped at

@@ -84,6 +84,18 @@ class EngineConfig:
     # the shipped mf_w4_rf combination — BENCH.md round-2i matrix).
     warm_start: bool = True
     limit_margin: float = 0.15      # joint-limit rows activate within [rad|m]
+    # Stone-culling fast path (SURVEY.md §7.3 hard part #1 / VERDICT r2 #6):
+    # narrowphase only the ``stone_window`` stones nearest the robot root
+    # (xy center distance minus the stone's bounding radius; 0 = off). The
+    # window is re-selected once per CONTROL step via top_k — dynamic data,
+    # static shapes — so the fused kernel compiles for K=window boxes
+    # instead of the scene's full set (stepper: 20 → 8, ~2.5× fewer box
+    # tests/substep). Exact whenever every stone within contact margin of
+    # any collision sphere ranks inside the window — guaranteed for paths
+    # sampled by terrain/stones.py since ≤3 stones can be near touch range
+    # at once; 8 leaves ~2.6× headroom over that (tests/test_stepper.py
+    # culling gate).
+    stone_window: int = 8
     gravity: tuple = (0.0, 0.0, -9.8)  # pybullet default, SURVEY.md §2.3
     # Use the fused Pallas substep kernel (ops/pallas/engine.py) when the
     # configuration supports it AND the default backend is TPU AND the

@@ -60,6 +60,62 @@ def env():
     return mocca_envs_tpu.make("Walker3DStepperEnv")
 
 
+@pytest.mark.slow
+def test_stone_culling_exact():
+    """EngineConfig.stone_window (the stepper fast path) must be EXACT: the
+    culled narrowphase produces bit-identical trajectories to the full
+    20-stone set, including through falls between stones."""
+    from mocca_envs_tpu.utils.config import EngineConfig
+
+    full = make_walker3d_stepper(config=EngineConfig(stone_window=0),
+                                 name="StepperFull")
+    culled = make_walker3d_stepper(config=EngineConfig(stone_window=8),
+                                   name="StepperCulled")
+    key = jax.random.key(11)
+    s_f = full.init(key)
+    s_c = culled.init(key)
+    np.testing.assert_array_equal(np.asarray(s_f.q), np.asarray(s_c.q))
+    step_f = jax.jit(full.step)
+    step_c = jax.jit(culled.step)
+    akey = jax.random.key(5)
+    for t in range(40):
+        akey, k = jax.random.split(akey)
+        a = 0.4 * jax.random.normal(k, (full.act_dim,))
+        tr_f = step_f(s_f, a)
+        tr_c = step_c(s_c, a)
+        s_f, s_c = tr_f.state, tr_c.state
+        np.testing.assert_array_equal(
+            np.asarray(s_f.q), np.asarray(s_c.q), err_msg=f"step {t}"
+        )
+        np.testing.assert_array_equal(
+            np.asarray(tr_f.reward), np.asarray(tr_c.reward), err_msg=f"step {t}"
+        )
+
+
+def test_cull_stones_selection():
+    """cull_stones keeps the nearest-by-(center − bound) active stones and
+    no-ops when the window covers the set."""
+    from mocca_envs_tpu.terrain.scene import cull_stones, with_stones
+
+    K = 10
+    pos = jnp.stack(
+        [jnp.arange(K, dtype=jnp.float32), jnp.zeros(K), jnp.zeros(K)], axis=1
+    )
+    quat = jnp.tile(jnp.array([1.0, 0.0, 0.0, 0.0]), (K, 1))
+    half = jnp.full((K, 3), 0.25)
+    sc = with_stones(pos, quat, half)
+    out = cull_stones(sc, jnp.array([4.2, 0.0]), 3)
+    assert out.stone_pos.shape == (3, 3)
+    kept = sorted(float(x) for x in out.stone_pos[:, 0])
+    assert kept == [3.0, 4.0, 5.0]
+    # inactive stones rank last even when nearest
+    sc2 = sc.replace(stone_active=sc.stone_active.at[4].set(0.0))
+    out2 = cull_stones(sc2, jnp.array([4.2, 0.0]), 3)
+    assert 4.0 not in {float(x) for x in out2.stone_pos[:, 0]}
+    # window >= K → untouched
+    assert cull_stones(sc, jnp.array([0.0, 0.0]), K).stone_pos.shape == (K, 3)
+
+
 def test_stepper_reset_on_first_stone(env):
     state = env.init(jax.random.key(0))
     # robot starts above stone 0's top (top z = 0)

@@ -59,7 +59,18 @@ def generate(name: str) -> str:
 
 
 def generate_all() -> list:
-    return [generate(n) for n in names()]
+    out = [generate(n) for n in names()]
+    # the walker also ships in plain MJCF (the reference's walker3d format,
+    # SURVEY.md C6); regenerate it here so `python -m …models.assets` can't
+    # leave it stale while the URDFs move
+    from mocca_envs_tpu.models.mjcf_export import export_mjcf
+    from mocca_envs_tpu.models.walker3d import make_model as _walker
+
+    xml_path = os.path.join(DATA_DIR, "walker3d.xml")
+    with open(xml_path, "w") as f:
+        f.write(export_mjcf(_walker(), name="walker3d"))
+    out.append(xml_path)
+    return out
 
 
 def load(name: str) -> RobotModel:

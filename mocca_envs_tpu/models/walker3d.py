@@ -91,6 +91,7 @@ _SEGMENTS = {
 # initial_z used for the obs height term (behavior B4) and reset placement.
 INITIAL_Z = 0.94
 FOOT_RADIUS = 0.042
+FOOT_HALF_W = 0.025   # lateral half-spread of the foot corner spheres [K-med]
 
 ACTION_DIM = 21
 
@@ -127,12 +128,19 @@ def make_model() -> RobotModel:
         )
     names = None
 
-    # collision spheres: feet (heel/toe pairs feed the contact flags, B4),
-    # plus pelvis/torso/hands for termination + general ground interaction.
+    # collision spheres: feet as 2×2 CORNER sets (heel/toe × inner/outer
+    # edge) so a foot resting half-on a stone edge keeps a stable support
+    # polygon — the reference's box-foot contact manifold, approximated
+    # (SURVEY.md §2.3 createCollisionShape row; VERDICT r2 #5; gated by
+    # tests/test_contact.py edge-balance regression). The pairs also feed
+    # the per-foot contact flags (B4). Pelvis/torso/hands cover termination
+    # + general ground interaction.
     for side in ("right", "left"):
         foot = f"{side}_ankle_x"
-        b.add_sphere(foot, (-0.05, 0.0, -0.05), FOOT_RADIUS, foot=f"{side}_foot")
-        b.add_sphere(foot, (0.12, 0.0, -0.05), FOOT_RADIUS, foot=f"{side}_foot")
+        for fx in (-0.05, 0.12):
+            for fy in (-FOOT_HALF_W, FOOT_HALF_W):
+                b.add_sphere(foot, (fx, fy, -0.05), FOOT_RADIUS,
+                             foot=f"{side}_foot")
         b.add_sphere(f"{side}_elbow", (0.0, 0.0, -0.26), 0.04)
         b.add_sphere(f"{side}_knee", (0.0, 0.0, -0.2), 0.05)
     b.add_sphere("base", (0.0, 0.0, 0.0), 0.11)

@@ -832,22 +832,27 @@ def make_pallas_substep(
                 act_rows += [active[s]] * 3
                 mu_rows += [fric] * 3
 
-            # J columns as (nr, 8, 128) values
-            Jcol = []
-            for c in range(nv):
-                vals = []
-                for r in range(nr):
-                    v = Jrows[r][c]
-                    vals.append(jnp.broadcast_to(jnp.asarray(v, jnp.float32), SUB) if _isf(v) else v)
-                Jcol.append(jnp.stack(vals))
-
-            # ---------------- W = L⁻¹ Jᵀ (forward substitution on columns)
-            W = []
-            for i2 in range(nv):
-                s2 = Jcol[i2]
-                for k in range(i2):
-                    s2 = s2 - Lc[k][i2][None] * W[k]
-                W.append(s2 * Ld_inv[i2][None])
+            # ---------------- W = L⁻¹ Jᵀ, built PER ROW with structural-zero
+            # folding. J is sparse by construction — each of the nlim limit
+            # rows has ONE nonzero (column 6+j), planar rows one, and contact
+            # rows zero out every non-ancestor joint — and L⁻¹ is lower
+            # triangular, so w_r[i] is exactly zero for all i before row r's
+            # first nonzero column. Keeping those zeros as python floats lets
+            # the `_z`-aware helpers skip them through the substitution AND
+            # through every PGS sweep below. For the walker (nv=27, 21 limit
+            # rows) this removes ~Σ(6+j)² ≈ 6k of the ~7.6k tile-FMAs the
+            # limit rows' share of a dense (nv·nr·nv/2) column build costs,
+            # plus ~(6+j) terms per limit row per sweep — measured round 3:
+            # [see BENCH.md round-3 kernel table].
+            Wrow = []    # Wrow[r][i2]: tile or exact-0.0 float
+            for r in range(nr):
+                y = []
+                for i2 in range(nv):
+                    s2 = Jrows[r][i2]
+                    for k in range(i2):
+                        s2 = sub_(s2, mul(Lc[k][i2], y[k]))
+                    y.append(mul(s2, Ld_inv[i2]))
+                Wrow.append(y)
 
             # c = J v_free − target
             cvec = []
@@ -878,12 +883,12 @@ def make_pallas_substep(
                 # row residual on demand: c_r + W_rᵀz + cfm·λ_r. Identical
                 # iteration to the A-form below, ~nv/nr² less setup work.
                 def wdot(r1, r2):
-                    s2 = W[0][r1] * W[0][r2]
-                    for i2 in range(1, nv):
-                        s2 = s2 + W[i2][r1] * W[i2][r2]
+                    s2 = 0.0
+                    for i2 in range(nv):
+                        s2 = madd(s2, Wrow[r1][i2], Wrow[r2][i2])
                     return s2
 
-                diag = [jnp.maximum(wdot(r, r) + cfm, 1e-9) for r in range(nr)]
+                diag = [jnp.maximum(_tile(wdot(r, r) + cfm), 1e-9) for r in range(nr)]
                 if block_pgs and ns:
                     finv = []
                     for s in range(ns):
@@ -903,14 +908,15 @@ def make_pallas_substep(
                     def row_res(r):
                         s2 = cvec[r] + cfm * lam[r]
                         for i2 in range(nv):
-                            s2 = s2 + W[i2][r] * z[i2]
+                            s2 = madd(s2, Wrow[r][i2], z[i2])
                         return s2
 
                     def apply(r, new):
                         d = new - lam[r]
                         lam[r] = new
                         for i2 in range(nv):
-                            z[i2] = z[i2] + W[i2][r] * d
+                            if not _z(Wrow[r][i2]):
+                                z[i2] = z[i2] + Wrow[r][i2] * d
 
                     for r in range(ne):
                         apply(r, (lam[r] - row_res(r) / diag[r]) * act_rows[r])
@@ -937,8 +943,10 @@ def make_pallas_substep(
                             lam[b0 + 1] = n1
                             lam[b0 + 2] = n2
                             for i2 in range(nv):
-                                z[i2] = z[i2] + W[i2][b0 + 1] * e1 \
-                                    + W[i2][b0 + 2] * e2
+                                upd = madd(mul(Wrow[b0 + 1][i2], e1),
+                                           Wrow[b0 + 2][i2], e2)
+                                if not _z(upd):
+                                    z[i2] = z[i2] + upd
                         else:
                             for t in (b0 + 1, b0 + 2):
                                 apply(t, jnp.clip(lam[t] - row_res(t) / diag[t],
@@ -951,7 +959,7 @@ def make_pallas_substep(
                     for i2 in range(nv):
                         s2 = 0.0
                         for r in range(nr):
-                            s2 = madd(s2, W[i2][r], lam_ws[r])
+                            s2 = madd(s2, Wrow[r][i2], lam_ws[r])
                         z_ws.append(_tile(s2))
                     init_mf = (tuple(lam_ws), tuple(z_ws))
                 else:
@@ -962,6 +970,12 @@ def make_pallas_substep(
                 u = list(z_t)
                 dv = bwd_subst(u)
             else:
+                # the A-form path wants W dense: materialize the per-row
+                # build as nv stacked (nr, 8, 128) blocks
+                W = [
+                    jnp.stack([_tile(Wrow[r][i2]) for r in range(nr)])
+                    for i2 in range(nv)
+                ]
                 resid0 = jnp.stack(cvec)                      # (nr, 8, 128)
 
                 # A = WᵀW + cfm I : (nr, nr, 8, 128)

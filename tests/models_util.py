@@ -66,6 +66,23 @@ def hopper():
     return b.build()
 
 
+def foot_box(hx=0.08, hy=0.06, hz=0.02, r=0.02, m=1.0):
+    """Free box with 2×2 corner collision spheres — the foot-manifold rig.
+
+    Mirrors how the walker feet approximate the reference's box-foot contact
+    manifold (models/walker3d.py corner sets): support polygon = the sphere
+    rectangle."""
+    ix = m * (hy * hy + hz * hz) / 3.0
+    iy = m * (hx * hx + hz * hz) / 3.0
+    iz = m * (hx * hx + hy * hy) / 3.0
+    b = ModelBuilder("foot_box", floating=True)
+    b.base_inertial(m, (0, 0, 0), inertia_diag=(ix, iy, iz))
+    for sx in (-hx, hx):
+        for sy in (-hy, hy):
+            b.add_sphere("base", (sx, sy, -hz), r)
+    return b.build()
+
+
 def ball(radius=0.1, m=1.0):
     """Free sphere — the box-drop / restitution / friction gate."""
     i = 0.4 * m * radius * radius

@@ -108,7 +108,7 @@ def test_mjcf_asset_roundtrip_walker3d():
     assert hf.shape[1] == np.asarray(parsed.sph_foot).shape[1] == 2
     for m, link_map in ((hand, perm), (parsed, list(range(parsed.nl)))):
         fl = np.asarray(m.sph_foot)
-        assert int(fl.sum()) == 4  # 2 spheres per foot
+        assert int(fl.sum()) == 8  # 2×2 corner spheres per foot
 
 
 def test_asset_parses_without_vendor_heuristics():

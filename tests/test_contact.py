@@ -9,7 +9,7 @@ from mocca_envs_tpu.ops.step import make_substep
 from mocca_envs_tpu.terrain import scene as scene_mod
 from mocca_envs_tpu.utils.config import EngineConfig
 
-from tests.models_util import ball, free_q, free_qd, hopper
+from tests.models_util import ball, foot_box, free_q, free_qd, hopper
 
 
 CFG = EngineConfig(solver_iters=20)
@@ -119,6 +119,88 @@ def test_ball_falls_off_stone_edge():
     qd = jnp.asarray(free_qd())
     q, qd = _run(model, substep, q, qd, scene, 400)
     assert float(q[2]) < -2.0, q[2]  # fell to the deep ground
+
+
+def test_foot_box_half_on_stone_edge_settles():
+    """Edge-balance regression (VERDICT r2 #5 / SURVEY.md §2.3
+    createCollisionShape row): a box foot dropped HALF-ON a stone must not
+    jitter or rotate through the edge. With 2×2 corner spheres the box tips
+    about the on-stone sphere line, catches itself on the ground with the
+    off-stone corners, and RESTS straddling the edge — a stable multi-point
+    manifold, where a midline sphere pair pivots freely."""
+    model = foot_box()
+    substep = make_substep(model, CFG)
+    # stone occupies y ∈ [0, 0.5], top at z = 0.06; ground at z = 0
+    scene = scene_mod.with_stones(
+        stone_pos=jnp.array([[0.0, 0.25, 0.03]]),
+        stone_quat=jnp.array([[1.0, 0.0, 0.0, 0.0]]),
+        stone_half=jnp.array([[0.5, 0.25, 0.03]]),
+        ground_z=0.0,
+    )
+    # center over the edge (+y spheres above the stone, −y spheres hanging),
+    # released 2 cm above contact — a step-down, not a flip-inducing slam
+    q = jnp.asarray(free_q(pos=(0.0, 0.0, 0.12)))
+    qd = jnp.asarray(free_qd())
+    tau_j = jnp.zeros(model.nj) if model.nj else jnp.zeros(0)
+
+    def body(carry, _):
+        q, qd = carry
+        q, qd, info, _ = substep(q, qd, tau_j, scene)
+        return (q, qd), (q, info.contacts.depth)
+
+    (q, qd), (qs, depths) = jax.lax.scan(
+        jax.jit(body), (q, qd), None, length=900
+    )
+    # settled: negligible residual velocity
+    assert float(jnp.max(jnp.abs(qd[0:3]))) < 0.05, qd[0:3]
+    assert float(jnp.max(jnp.abs(qd[3:6]))) < 0.3, qd[3:6]
+    # never rotated/penetrated through the edge: depths stay within the
+    # Baumgarte slop band at all times
+    assert float(jnp.max(depths)) < 0.02, float(jnp.max(depths))
+    # ends at a REST state — tipped onto the ground or straddling the edge —
+    # not flipped, not jittering (a CoM-past-the-edge box tipping off is
+    # correct physics; rotating THROUGH the stone is the bug)
+    assert -0.4 < float(q[1]) < 0.12, q[1]
+    assert 0.02 < float(q[2]) < 0.12, q[2]
+    w_, x_ = float(q[3]), float(q[4])
+    roll = abs(2.0 * np.arctan2(x_, w_))
+    assert roll < 1.05, roll
+    # no late-time jitter: z steady over the last 200 substeps
+    z_tail = qs[-200:, 2]
+    assert float(jnp.std(z_tail)) < 1e-3, float(jnp.std(z_tail))
+
+
+def test_foot_box_com_inside_corners_does_not_tip():
+    """The discriminating manifold gate: CoM inside the corner-sphere
+    rectangle but NEAR the stone edge (hanging corners past it) must rest
+    FLAT. A midline sphere pair (the pre-round-3 feet) has zero support
+    width here and pivots; the 2×2 corner set holds a support polygon."""
+    model = foot_box()
+    substep = make_substep(model, CFG)
+    scene = scene_mod.with_stones(
+        stone_pos=jnp.array([[0.0, 0.25, 0.03]]),
+        stone_quat=jnp.array([[1.0, 0.0, 0.0, 0.0]]),
+        stone_half=jnp.array([[0.5, 0.25, 0.03]]),
+        ground_z=0.0,
+    )
+    # spheres at y = +0.02 (on, near edge) and +0.14 (on): support spans
+    # [0.02, 0.14]; CoM at 0.08 is inside, 6 cm from the stone edge
+    q = jnp.asarray(free_q(pos=(0.0, 0.08, 0.11)))
+    qd = jnp.asarray(free_qd())
+    tau_j = jnp.zeros(model.nj) if model.nj else jnp.zeros(0)
+
+    def body(carry, _):
+        q, qd = carry
+        q, qd, info, _ = substep(q, qd, tau_j, scene)
+        return (q, qd), None
+
+    (q, qd), _ = jax.lax.scan(jax.jit(body), (q, qd), None, length=700)
+    # flat on the stone top: z = top + hz + r, roll ≈ 0, no drift off
+    assert abs(float(q[2]) - 0.10) < 8e-3, q[2]
+    w_, x_ = float(q[3]), float(q[4])
+    assert abs(2.0 * np.arctan2(x_, w_)) < 0.1
+    assert abs(float(q[1]) - 0.08) < 0.02, q[1]
+    np.testing.assert_allclose(np.asarray(qd[0:6]), np.zeros(6), atol=0.05)
 
 
 def test_energy_dissipates_not_gains():

@@ -47,10 +47,17 @@ def test_transfer_embeds_walker_into_stepper():
         np.asarray(dst.obs_norm.mean[: walker.obs_dim]),
         np.asarray(src.obs_norm.mean),
     )
+    # same-shape leaves must be COPIES, not views: train_step donates the
+    # transferred state, and an aliased src would hit deleted buffers when
+    # one pretrain seeds two curriculum variants
+    assert dst.params["params"]["Dense_1"]["kernel"] is not \
+        src.params["params"]["Dense_1"]["kernel"]
     # transferred state trains
     state, metrics = dl.train_step(dst)
     jax.block_until_ready(state.params)
     assert np.isfinite(float(metrics["pg_loss"]))
+    # and src remains usable after the donation
+    assert bool(jnp.all(jnp.isfinite(src.params["params"]["Dense_1"]["kernel"])))
 
 
 def test_embed_rejects_shrinking():

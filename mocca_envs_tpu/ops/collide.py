@@ -27,6 +27,7 @@ from mocca_envs_tpu.terrain.scene import (
     hf_sample,
     sphere_box_depth,
     sphere_capsule_depth,
+    sphere_triangle_depth,
 )
 
 
@@ -90,6 +91,23 @@ def collide(model: RobotModel, fd: FrameData, scene: Scene, margin: float) -> Co
             return d[k], n[k], p[k]
 
         depth, normal, pos = jax.vmap(one_sphere)(centers, r)
+        take = depth > best_depth
+        best_depth = jnp.where(take, depth, best_depth)
+        best_normal = jnp.where(take[:, None], normal, best_normal)
+        best_pos = jnp.where(take[:, None], pos, best_pos)
+
+    if scene.has_tris:
+        # static triangle mesh (pybullet GEOM_MESH parity, SURVEY.md §2.3):
+        # deepest face per sphere, same merge rule as the other features
+        def one_sphere_tri(c, rad):
+            d, n, p = jax.vmap(
+                lambda ta, tb, tc: sphere_triangle_depth(c, rad, ta, tb, tc)
+            )(scene.tri_a, scene.tri_b, scene.tri_c)
+            d = jnp.where(scene.tri_active > 0.5, d, big_neg)
+            k = jnp.argmax(d)
+            return d[k], n[k], p[k]
+
+        depth, normal, pos = jax.vmap(one_sphere_tri)(centers, r)
         take = depth > best_depth
         best_depth = jnp.where(take, depth, best_depth)
         best_normal = jnp.where(take[:, None], normal, best_normal)

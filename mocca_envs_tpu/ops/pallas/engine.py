@@ -184,8 +184,9 @@ def supports(model: RobotModel, constraints=None, scene_has_stones=False) -> boo
     """Whether the fused kernel covers this configuration (else JAX path).
 
     Covers: floating all-revolute models; p2p rods, planar locks and
-    runtime grab constraints; flat ∪ stone-box ∪ heightfield scenes.
-    (Fixed-base rigs and grids smaller than HF_PATCH stay on the JAX path.)
+    runtime grab constraints; flat ∪ stone-box ∪ heightfield ∪ bar-capsule
+    ∪ triangle-mesh scenes. (Fixed-base rigs and grids smaller than
+    HF_PATCH stay on the JAX path.)
     """
     del constraints, scene_has_stones  # all supported now
     return model.floating and all(t == REVOLUTE for t in model.jtype)
@@ -213,6 +214,7 @@ def make_pallas_substep(
     pd_mode: bool = False,
     hf_patch: int = 0,
     num_bars: int = 0,
+    num_tris: int = 0,
 ):
     """Build the fused substep running ``config.sim_substeps`` physics
     substeps on TPU.
@@ -223,6 +225,8 @@ def make_pallas_substep(
                      stone_half (B,K,3), stone_active (B,K)]   # K > 0
                   [, hf_patch (B,P,P), hf_x0 (B,), hf_y0 (B,),
                      hf_cell (B,)]                             # hf_patch=P>0
+                  [, tri_a (B,Kt,3), tri_b (B,Kt,3),
+                     tri_c (B,Kt,3), tri_active (B,Kt)]        # num_tris>0
                   [, bar_a (B,Kb,3), bar_b (B,Kb,3),
                      bar_r (B,Kb), bar_active (B,Kb)]          # num_bars>0
                   [, grab_active (B,ng), grab_target (B,ng,3)] # ng > 0
@@ -259,6 +263,7 @@ def make_pallas_substep(
     K = int(num_stones)
     PHF = int(hf_patch)
     KB = int(num_bars)
+    KT = int(num_tris)
     from mocca_envs_tpu.ops.integrate import LIMIT_SLOP
     from mocca_envs_tpu.ops.step import ConstraintSpec, limited_joints
 
@@ -359,6 +364,14 @@ def make_pallas_substep(
             hf_x0 = hf_ref[PHF * PHF]
             hf_y0 = hf_ref[PHF * PHF + 1]
             hf_icell = 1.0 / hf_ref[PHF * PHF + 2]
+        if KT > 0:
+            tris_ref = rest.pop(0)
+            # per face k, components: [a(3), b(3), c(3), active]
+            tt = lambda c: jnp.stack([tris_ref[k * 10 + c] for k in range(KT)])
+            tA = (tt(0), tt(1), tt(2))          # (KT, 8, 128) each
+            tBv = (tt(3), tt(4), tt(5))
+            tCv = (tt(6), tt(7), tt(8))
+            tACT = tt(9)
         if KB > 0:
             bars_ref = rest.pop(0)
             # per bar k, components: [a(3), b(3), r, active]
@@ -522,6 +535,73 @@ def make_pallas_substep(
                     )
                     best_x = tuple(
                         jnp.where(take, sel(x_w[a]), best_x[a]) for a in range(3)
+                    )
+
+                if KT > 0:
+                    # sphere vs KT mesh triangles: barycentric region walk
+                    # (first-listed-condition-wins where chain), formulas
+                    # shared with terrain/scene.sphere_triangle_depth
+                    cb = (c[0][None], c[1][None], c[2][None])
+                    abv = v3sub(tBv, tA)
+                    acv = v3sub(tCv, tA)
+                    apv = v3sub(cb, tA)
+                    d1 = dot3(abv, apv)
+                    d2 = dot3(acv, apv)
+                    bpv = v3sub(cb, tBv)
+                    d3 = dot3(abv, bpv)
+                    d4 = dot3(acv, bpv)
+                    cpv = v3sub(cb, tCv)
+                    d5 = dot3(abv, cpv)
+                    d6 = dot3(acv, cpv)
+                    va = d3 * d6 - d5 * d4
+                    vb = d5 * d2 - d1 * d6
+                    vc = d1 * d4 - d3 * d2
+                    teps = 1e-12
+                    p_ab = v3add(tA, v3scale(abv, d1 / jnp.maximum(d1 - d3, teps)))
+                    p_ac = v3add(tA, v3scale(acv, d2 / jnp.maximum(d2 - d6, teps)))
+                    w_bc = (d4 - d3) / jnp.maximum((d4 - d3) + (d5 - d6), teps)
+                    p_bc = v3add(tBv, v3scale(v3sub(tCv, tBv), w_bc))
+                    denom = 1.0 / jnp.maximum(va + vb + vc, teps)
+                    p_t = v3add(tA, v3add(v3scale(abv, vb * denom),
+                                          v3scale(acv, vc * denom)))
+                    tconds = [
+                        ((d1 <= 0.0) & (d2 <= 0.0), tA),
+                        ((d3 >= 0.0) & (d4 <= d3), tBv),
+                        ((d6 >= 0.0) & (d5 <= d6), tCv),
+                        ((vc <= 0.0) & (d1 >= 0.0) & (d3 <= 0.0), p_ab),
+                        ((vb <= 0.0) & (d2 >= 0.0) & (d6 <= 0.0), p_ac),
+                        ((va <= 0.0) & (d4 - d3 >= 0.0) & (d5 - d6 >= 0.0),
+                         p_bc),
+                    ]
+                    for cond, cand in reversed(tconds):
+                        p_t = tuple(jnp.where(cond, cand[a2], p_t[a2])
+                                    for a2 in range(3))
+                    delta = v3sub(cb, p_t)
+                    dist = jnp.sqrt(dot3(delta, delta) + 1e-18)
+                    fn_ = cross(abv, acv)
+                    fmag = jax.lax.rsqrt(dot3(fn_, fn_) + 1e-24)
+                    fside = jnp.where(dot3(apv, fn_) >= 0.0, 1.0, -1.0) * fmag
+                    okn = dist > 1e-9
+                    n_k = tuple(
+                        jnp.where(okn, delta[a2] / jnp.maximum(dist, 1e-9),
+                                  fside * fn_[a2])
+                        for a2 in range(3)
+                    )
+                    d_k = sph_r[s] - dist
+                    d_k = jnp.where(tACT > 0.5, d_k, -1e9)
+                    tbest = jnp.max(d_k, axis=0)
+                    oh = (d_k == tbest).astype(jnp.float32)
+                    cnt = jnp.maximum(jnp.sum(oh, axis=0), 1.0)
+                    sel = lambda comp: jnp.sum(comp * oh, axis=0) / cnt
+                    take = tbest > best_d
+                    best_d = jnp.where(take, tbest, best_d)
+                    best_n = tuple(
+                        jnp.where(take, sel(n_k[a2]), best_n[a2])
+                        for a2 in range(3)
+                    )
+                    best_x = tuple(
+                        jnp.where(take, sel(p_t[a2]), best_x[a2])
+                        for a2 in range(3)
                     )
 
                 if KB > 0 and not sph_no_bar[s]:
@@ -1236,6 +1316,14 @@ def make_pallas_substep(
             )                                  # (B, P·P + 3)
             inputs.append(reshape_in(packed_h, PHF * PHF + 3))
             in_specs.append(spec(PHF * PHF + 3))
+        if KT > 0:
+            tri_a, tri_b, tri_c, tri_active = extra[ei:ei + 4]
+            ei += 4
+            packed_t = jnp.concatenate(
+                [tri_a, tri_b, tri_c, tri_active[:, :, None]], axis=2
+            )                                  # (B, Kt, 10)
+            inputs.append(reshape_in(packed_t.reshape(B, KT * 10), KT * 10))
+            in_specs.append(spec(KT * 10))
         if KB > 0:
             bar_a, bar_b, bar_r, bar_active = extra[ei:ei + 4]
             ei += 4

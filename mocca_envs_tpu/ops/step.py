@@ -383,12 +383,14 @@ def _make_llc_unit(model: RobotModel, config: EngineConfig, substep,
     nr_ws = constraints.ne + len(limited_joints(model)) + 3 * model.ns
 
     def jax_unit(q, qd, tau_or_targets, scene, grab_active=None, grab_target=None):
-        # stone-culling fast path (EngineConfig.stone_window): narrowphase
-        # only the window nearest the root, re-selected once per control
-        # step. Applied on BOTH engine paths so CPU ≡ TPU trajectories.
-        from mocca_envs_tpu.terrain.scene import cull_stones
+        # stone/tri-culling fast path (EngineConfig.stone_window /
+        # tri_window): narrowphase only the window nearest the root,
+        # re-selected once per control step. Applied on BOTH engine paths
+        # so CPU ≡ TPU trajectories.
+        from mocca_envs_tpu.terrain.scene import cull_stones, cull_tris
 
         scene = cull_stones(scene, q[0:2], config.stone_window)
+        scene = cull_tris(scene, q[0:2], config.tri_window)
 
         def one_llc(q, qd, lam=None):
             if pd_mode:
@@ -486,15 +488,16 @@ def _make_llc_unit(model: RobotModel, config: EngineConfig, substep,
     has_grabs = constraints.num_grabs > 0
     _units: dict = {}   # (num_stones, has_hf) → custom_vmap'd llc unit
 
-    def _get_unit(num_stones: int, has_hf: bool = False, num_bars: int = 0):
-        ukey = (num_stones, has_hf, num_bars)
+    def _get_unit(num_stones: int, has_hf: bool = False, num_bars: int = 0,
+                  num_tris: int = 0):
+        ukey = (num_stones, has_hf, num_bars, num_tris)
         if ukey in _units:
             return _units[ukey]
         fused = pallas_engine.make_pallas_substep(
             model, config, num_stones=num_stones,
             constraints=constraints, extra_damping=extra_damping,
             pd_mode=pd_mode, hf_patch=HF_PATCH if has_hf else 0,
-            num_bars=num_bars,
+            num_bars=num_bars, num_tris=num_tris,
         )
 
         # The oracle fallback sees the SAME inputs as the kernel — for hf
@@ -515,6 +518,11 @@ def _make_llc_unit(model: RobotModel, config: EngineConfig, substep,
                 kw.update(
                     has_hf=True, hf_height=patch,
                     hf_xy0=jnp.stack([px0, py0]), hf_cell=cell,
+                )
+            if num_tris > 0:
+                kw.update(
+                    tri_a=rest.pop(0), tri_b=rest.pop(0),
+                    tri_c=rest.pop(0), tri_active=rest.pop(0),
                 )
             if num_bars > 0:
                 kw.update(
@@ -556,11 +564,12 @@ def _make_llc_unit(model: RobotModel, config: EngineConfig, substep,
 
     def pallas_unit(q, qd, tau_j, scene: Scene, grab_active=None, grab_target=None):
         # same culling as jax_unit — the kernel then compiles for K=window
-        # boxes (the fallback inside _get_unit sees the culled set too, so
-        # kernel ≡ oracle is preserved by construction)
-        from mocca_envs_tpu.terrain.scene import cull_stones
+        # boxes/faces (the fallback inside _get_unit sees the culled set
+        # too, so kernel ≡ oracle is preserved by construction)
+        from mocca_envs_tpu.terrain.scene import cull_stones, cull_tris
 
         scene = cull_stones(scene, q[0:2], config.stone_window)
+        scene = cull_tris(scene, q[0:2], config.tri_window)
         has_hf = scene.has_hf
         if has_hf and min(scene.hf_height.shape) < HF_PATCH:
             # grid smaller than a patch: stay on the JAX path (trace-time)
@@ -579,14 +588,20 @@ def _make_llc_unit(model: RobotModel, config: EngineConfig, substep,
                 scene.stone_half, scene.stone_active,
             )
         hf_args = _hf_patch_args(q, scene) if has_hf else ()
+        tris = ()
+        kt = 0
+        if scene.has_tris:
+            kt = scene.tri_a.shape[-2]
+            tris = (scene.tri_a, scene.tri_b, scene.tri_c, scene.tri_active)
         bars = ()
         kb = 0
         if scene.has_bars:
             kb = scene.bar_a.shape[-2]
             bars = (scene.bar_a, scene.bar_b, scene.bar_r, scene.bar_active)
-        unit = _get_unit(ksize, has_hf, kb)
+        unit = _get_unit(ksize, has_hf, kb, kt)
         qq, dd, depth, nimp = unit(
-            q, qd, tau_j, gz, scene.friction, *stones, *hf_args, *bars, *grabs
+            q, qd, tau_j, gz, scene.friction, *stones, *hf_args, *tris,
+            *bars, *grabs
         )
         contacts = collide_mod.Contacts(
             pos=jnp.zeros((model.ns, 3), dtype=qq.dtype),

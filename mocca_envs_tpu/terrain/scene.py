@@ -50,7 +50,20 @@ class Scene(struct.PyTreeNode):
     bar_r: jnp.ndarray | None = None         # (Kb,) capsule radius
     bar_active: jnp.ndarray | None = None    # (Kb,) 1.0 = solid
 
+    # static triangle mesh (pybullet createCollisionShape(GEOM_MESH) /
+    # loadURDF <mesh> world geometry — SURVEY.md §2.3): per-face world-space
+    # vertices. Narrowphase is sphere-vs-triangle closest point, culled to
+    # EngineConfig.tri_window faces around the root like stones.
+    tri_a: jnp.ndarray | None = None         # (Kt, 3) vertex 0 per face
+    tri_b: jnp.ndarray | None = None         # (Kt, 3) vertex 1
+    tri_c: jnp.ndarray | None = None         # (Kt, 3) vertex 2
+    tri_active: jnp.ndarray | None = None    # (Kt,) 1.0 = solid
+
     friction: jnp.ndarray = struct.field(default_factory=lambda: jnp.asarray(0.8))
+
+    @property
+    def has_tris(self) -> bool:
+        return self.tri_a is not None
 
 
 def flat(ground_z: float = 0.0, friction: float = 0.8) -> Scene:
@@ -272,6 +285,164 @@ def sphere_capsule_depth(center, radius, seg_a, seg_b, cap_r):
     depth = radius + cap_r - dist
     point = closest + n * cap_r
     return depth, n, point
+
+
+def with_trimesh(
+    vertices: jnp.ndarray,
+    faces,
+    ground_z: float = -1e3,
+    friction: float = 0.8,
+) -> Scene:
+    """Static triangle-mesh world — pybullet ``createCollisionShape(
+    GEOM_MESH, vertices=…, indices=…)`` / ``loadURDF`` ``<mesh>`` collision
+    geometry (SURVEY.md §2.3 createCollisionShape row). ``vertices`` (V, 3)
+    world-space, ``faces`` (F, 3) int indices. Stored per-face so the
+    narrowphase vectorizes over a culled face window with static shapes."""
+    vertices = jnp.asarray(vertices, dtype=jnp.float32)
+    import numpy as _np
+
+    f = _np.asarray(faces, dtype=_np.int32)
+    return Scene(
+        has_ground=True,
+        ground_z=jnp.asarray(ground_z, dtype=jnp.float32),
+        tri_a=vertices[f[:, 0]],
+        tri_b=vertices[f[:, 1]],
+        tri_c=vertices[f[:, 2]],
+        tri_active=jnp.ones((f.shape[0],), dtype=jnp.float32),
+        friction=jnp.asarray(friction, dtype=jnp.float32),
+    )
+
+
+def stairs_trimesh(
+    n_steps: int = 6,
+    rise: float = 0.15,
+    run: float = 0.3,
+    width: float = 2.0,
+    start_x: float = 0.5,
+    ground_z: float = 0.0,
+    friction: float = 0.8,
+) -> Scene:
+    """A staircase as a triangle mesh (treads + risers) — the canonical
+    mesh-collider fixture: axis-aligned quads split into triangles, so
+    sphere-vs-trimesh behavior is checkable against plane/box intuition."""
+    import numpy as _np
+
+    verts = []
+    faces = []
+
+    def quad(p0, p1, p2, p3):
+        i = len(verts)
+        verts.extend([p0, p1, p2, p3])
+        faces.append((i, i + 1, i + 2))
+        faces.append((i, i + 2, i + 3))
+
+    y0, y1 = -width / 2.0, width / 2.0
+    for k in range(n_steps):
+        x0 = start_x + k * run
+        x1 = x0 + run
+        z_top = ground_z + (k + 1) * rise
+        z_bot = ground_z + k * rise
+        # tread (horizontal)
+        quad((x0, y0, z_top), (x1, y0, z_top), (x1, y1, z_top), (x0, y1, z_top))
+        # riser (vertical, facing −x)
+        quad((x0, y0, z_bot), (x0, y0, z_top), (x0, y1, z_top), (x0, y1, z_bot))
+    return with_trimesh(
+        _np.asarray(verts, dtype=_np.float32),
+        _np.asarray(faces, dtype=_np.int32),
+        ground_z=ground_z, friction=friction,
+    )
+
+
+def cull_tris(scene: Scene, root_xy: jnp.ndarray, window: int) -> Scene:
+    """Narrowphase only the ``window`` mesh faces nearest the robot root —
+    the trimesh analog of :func:`cull_stones` (same top_k shape-static
+    pattern; exact whenever every face within contact range ranks inside
+    the window)."""
+    if not scene.has_tris or window <= 0:
+        return scene
+    Kt = scene.tri_a.shape[-2]
+    if window >= Kt:
+        return scene
+    centroid = (scene.tri_a + scene.tri_b + scene.tri_c) / 3.0
+    d = jnp.linalg.norm(centroid[:, :2] - root_xy[None, :], axis=-1)
+    bound = jnp.maximum(
+        jnp.linalg.norm(scene.tri_a - centroid, axis=-1),
+        jnp.maximum(
+            jnp.linalg.norm(scene.tri_b - centroid, axis=-1),
+            jnp.linalg.norm(scene.tri_c - centroid, axis=-1),
+        ),
+    )
+    score = jnp.where(scene.tri_active > 0.5, d - bound, 1e9)
+    _, idx = jax.lax.top_k(-score, window)
+    return scene.replace(
+        tri_a=scene.tri_a[idx],
+        tri_b=scene.tri_b[idx],
+        tri_c=scene.tri_c[idx],
+        tri_active=scene.tri_active[idx],
+    )
+
+
+def sphere_triangle_depth(center, radius, a, b, c):
+    """Sphere vs one triangle: (depth, normal, contact_point), branchless.
+
+    Closest point on the triangle via the barycentric region walk (Ericson,
+    Real-Time Collision Detection §5.1.5) expressed as a first-true-wins
+    ``where`` chain so it vectorizes over a face window. Normal points from
+    the triangle surface toward the sphere center (into the robot); a
+    center ON the face falls back to the oriented face normal so the
+    contact row stays solvable."""
+    ab = b - a
+    ac = c - a
+    ap = center - a
+    d1 = jnp.dot(ab, ap)
+    d2 = jnp.dot(ac, ap)
+    bp = center - b
+    d3 = jnp.dot(ab, bp)
+    d4 = jnp.dot(ac, bp)
+    cp = center - c
+    d5 = jnp.dot(ab, cp)
+    d6 = jnp.dot(ac, cp)
+    va = d3 * d6 - d5 * d4
+    vb = d5 * d2 - d1 * d6
+    vc = d1 * d4 - d3 * d2
+    eps = 1e-12
+
+    # candidate closest points per region
+    p_a = a
+    p_b = b
+    p_c = c
+    v_ab = d1 / jnp.maximum(d1 - d3, eps)
+    p_ab = a + v_ab * ab
+    w_ac = d2 / jnp.maximum(d2 - d6, eps)
+    p_ac = a + w_ac * ac
+    w_bc = (d4 - d3) / jnp.maximum((d4 - d3) + (d5 - d6), eps)
+    p_bc = b + w_bc * (c - b)
+    denom = 1.0 / jnp.maximum(va + vb + vc, eps)
+    p_in = a + ab * (vb * denom) + ac * (vc * denom)
+
+    conds = [
+        ((d1 <= 0.0) & (d2 <= 0.0), p_a),
+        ((d3 >= 0.0) & (d4 <= d3), p_b),
+        ((d6 >= 0.0) & (d5 <= d6), p_c),
+        ((vc <= 0.0) & (d1 >= 0.0) & (d3 <= 0.0), p_ab),
+        ((vb <= 0.0) & (d2 >= 0.0) & (d6 <= 0.0), p_ac),
+        ((va <= 0.0) & (d4 - d3 >= 0.0) & (d5 - d6 >= 0.0), p_bc),
+    ]
+    p = p_in
+    for cond, cand in reversed(conds):
+        # reversed application + where = first LISTED condition wins
+        p = jnp.where(cond, cand, p)
+    delta = center - p
+    dist = jnp.linalg.norm(delta)
+    face_n = jnp.cross(ab, ac)
+    face_n = face_n / jnp.maximum(jnp.linalg.norm(face_n), 1e-12)
+    # orient the fallback toward the sphere center's side of the plane
+    side = jnp.where(jnp.dot(ap, face_n) >= 0.0, 1.0, -1.0)
+    n = jnp.where(
+        dist > 1e-9, delta / jnp.maximum(dist, 1e-9), side * face_n
+    )
+    depth = radius - dist
+    return depth, n, p
 
 
 def sphere_box_depth(center, radius, box_pos, box_quat, box_half):

@@ -96,6 +96,11 @@ class EngineConfig:
     # at once; 8 leaves ~2.6× headroom over that (tests/test_stepper.py
     # culling gate).
     stone_window: int = 8
+    # Same windowing for static triangle-mesh scenes (scene.tri_*): the
+    # fused kernel compiles tri_window faces; re-selected per control step
+    # by centroid distance minus face bounding radius (terrain/scene.
+    # cull_tris). 0 = narrowphase every face.
+    tri_window: int = 16
     gravity: tuple = (0.0, 0.0, -9.8)  # pybullet default, SURVEY.md §2.3
     # Use the fused Pallas substep kernel (ops/pallas/engine.py) when the
     # configuration supports it AND the default backend is TPU AND the

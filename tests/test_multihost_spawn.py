@@ -124,7 +124,7 @@ _MIXED_WORKER = textwrap.dedent(
 
     # per-family metric channels survive the mixed merge (VERDICT r2 #7):
     # every family contributes namespaced env/ channels with finite means
-    for ch in ("env/Walker3DCustomEnv/progress", "env/CassieEnv/track_err",
+    for ch in ("env/Walker3DCustomEnv/progress", "env/CassieEnv/speed",
                "env/Monkey3DStepperEnv/bars_reached"):
         assert ch in metrics, sorted(metrics)
         assert np.isfinite(float(metrics[ch])), ch

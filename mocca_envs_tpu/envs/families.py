@@ -104,7 +104,28 @@ def jnp_f32(v):
 
 from mocca_envs_tpu.tasks.walker_terrain import make_walker3d_terrain  # noqa: E402
 
+def _make_walker3d_stairs(**kw):
+    """Walker walk-to-target over a triangle-MESH staircase — the consumer
+    of the GEOM_MESH collision path (extension family; the reference's
+    bullet_objects world geometry loads meshes the same way)."""
+    from mocca_envs_tpu.tasks.walker_custom import WalkerParams
+    from mocca_envs_tpu.terrain.scene import stairs_trimesh
+
+    params = kw.pop("params", None) or WalkerParams.default().replace(
+        target_dist_lo=jnp_f32(1.0), target_dist_hi=jnp_f32(2.5)
+    )
+    return make_walker3d_custom(
+        name="Walker3DStairsEnv",
+        params=params,
+        scene_builder=lambda: stairs_trimesh(
+            n_steps=6, rise=0.12, run=0.35, width=4.0, start_x=0.6
+        ),
+        **kw,
+    )
+
+
 register("Walker3DTerrainEnv", make_walker3d_terrain)
+register("Walker3DStairsEnv", _make_walker3d_stairs)
 register("Walker2DCustomEnv", _make_walker2d_custom)
 register("Crab2DCustomEnv", _make_crab2d_custom)
 register("Child3DCustomEnv", _make_child3d_custom)

@@ -99,6 +99,7 @@ def make_walker3d_custom(
     constraints=None,
     terminal_link_names: tuple | None = None,
     pd_control: bool = False,
+    scene_builder=None,
 ):
     """Build the FnEnv for walk-to-target on flat ground.
 
@@ -213,7 +214,8 @@ def make_walker3d_custom(
             reset_count=jnp.asarray(reset_count, jnp.int32),
             steps=jnp.zeros((), jnp.int32),
             task=task,
-            scene=scene_mod.flat(),
+            scene=scene_builder() if scene_builder is not None
+            else scene_mod.flat(),
             done=jnp.zeros((), jnp.bool_),
             blowup_count=jnp.zeros((), jnp.int32),
         )
@@ -226,6 +228,9 @@ def make_walker3d_custom(
             # one-hot sampler: gather-free (TPU vmap of a gather is scalar
             # loops; this is an MXU matmul — see scene.hf_sample_onehot)
             return scene_mod.hf_sample_onehot(scene, xy)
+        if scene.has_tris:
+            # mesh scenes (Walker3DStairsEnv): highest face under xy
+            return scene_mod.tri_surface_z(scene, xy)
         return scene.ground_z
 
     def raw_step(state: EnvState, action: jnp.ndarray) -> Transition:
@@ -255,6 +260,10 @@ def make_walker3d_custom(
             # same in walker_terrain)
             new_target = new_target.at[2].set(
                 scene_mod.hf_sample_onehot(state.scene, new_target[:2])
+            )
+        elif state.scene.has_tris:
+            new_target = new_target.at[2].set(
+                scene_mod.tri_surface_z(state.scene, new_target[:2])
             )
         target = jnp.where(reached, new_target, state.task.target)
         dist_after = jnp.linalg.norm(target[:2] - q[0:2])

@@ -353,6 +353,32 @@ def stairs_trimesh(
     )
 
 
+def tri_surface_z(scene: Scene, xy: jnp.ndarray) -> jnp.ndarray:
+    """Support height of the mesh under ``xy``: the highest face whose xy
+    projection contains the point (barycentric test); falls back to
+    ``ground_z`` between faces. Vertical faces (degenerate projection) are
+    excluded by the area guard. Used by mesh tasks for the reference's
+    height-above-support obs/termination terms (B4/B5)."""
+    a2, b2, c2 = scene.tri_a[:, :2], scene.tri_b[:, :2], scene.tri_c[:, :2]
+    v0 = b2 - a2
+    v1 = c2 - a2
+    p = xy[None, :] - a2
+    den = v0[:, 0] * v1[:, 1] - v0[:, 1] * v1[:, 0]
+    ok = jnp.abs(den) > 1e-9
+    inv = 1.0 / jnp.where(ok, den, 1.0)
+    u = (p[:, 0] * v1[:, 1] - p[:, 1] * v1[:, 0]) * inv
+    v = (v0[:, 0] * p[:, 1] - v0[:, 1] * p[:, 0]) * inv
+    inside = ok & (u >= -1e-6) & (v >= -1e-6) & (u + v <= 1.0 + 1e-6)
+    if scene.tri_active is not None:
+        inside = inside & (scene.tri_active > 0.5)
+    z = (
+        scene.tri_a[:, 2]
+        + u * (scene.tri_b[:, 2] - scene.tri_a[:, 2])
+        + v * (scene.tri_c[:, 2] - scene.tri_a[:, 2])
+    )
+    return jnp.max(jnp.where(inside, z, scene.ground_z))
+
+
 def cull_tris(scene: Scene, root_xy: jnp.ndarray, window: int) -> Scene:
     """Narrowphase only the ``window`` mesh faces nearest the robot root —
     the trimesh analog of :func:`cull_stones` (same top_k shape-static

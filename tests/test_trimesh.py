@@ -152,6 +152,31 @@ def test_cull_tris_exact_on_stairs():
     assert culled.tri_a.shape == (4, 3)
 
 
+# ------------------------------------------------------------ env
+def test_stairs_env_registers_and_steps():
+    """Walker3DStairsEnv: the GEOM_MESH consumer — resets on flat ground
+    before the staircase, steps finitely, and its surface/tall logic reads
+    the mesh (tri_surface_z)."""
+    import mocca_envs_tpu
+    from mocca_envs_tpu.terrain.scene import tri_surface_z
+
+    env = mocca_envs_tpu.make("Walker3DStairsEnv")
+    s = env.init(jax.random.key(0))
+    assert s.scene.has_tris and s.scene.tri_a.shape == (24, 3)
+    step = jax.jit(env.step)
+    for _ in range(10):
+        tr = step(s, jnp.zeros(env.act_dim))
+        s = tr.state
+    assert bool(jnp.all(jnp.isfinite(s.q)))
+    # surface model: flat before the stairs, tread height on tread 3
+    np.testing.assert_allclose(
+        float(tri_surface_z(s.scene, jnp.array([0.0, 0.0]))), 0.0, atol=1e-6
+    )
+    np.testing.assert_allclose(
+        float(tri_surface_z(s.scene, jnp.array([1.8, 0.0]))), 0.48, atol=1e-5
+    )
+
+
 # ------------------------------------------------------------ kernel
 @pytest.mark.slow
 def test_pallas_trimesh_matches_jax_substep():

@@ -77,6 +77,7 @@ class FnEnv:
     obs_fn: Callable[[EnvState], jnp.ndarray]
     control_dt: float
     mirror: Any = None  # (obs_perm_sign, act_perm, act_sign) when available
+    model: Any = None   # RobotModel metadata (FK replay, parity, viewer)
 
     def init(self, key: jax.Array) -> EnvState:
         return self.reset(key, jnp.zeros((), jnp.int32))
@@ -101,6 +102,7 @@ def make_fn_env(
     obs_fn: Callable,
     control_dt: float,
     mirror=None,
+    model=None,
 ) -> FnEnv:
     """Assemble a family: wraps ``raw_step`` with done/NaN auto-reset."""
 
@@ -139,6 +141,7 @@ def make_fn_env(
         obs_fn=obs_fn,
         control_dt=control_dt,
         mirror=mirror,
+        model=model,
     )
 
 

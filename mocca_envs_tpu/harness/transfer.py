@@ -26,7 +26,11 @@ def embed_pytree(src, dst):
         s = jnp.asarray(s)
         d = jnp.asarray(d)
         if s.shape == d.shape:
-            return s.astype(d.dtype)
+            # COPY (jnp.array), never a view: same-dtype astype would alias
+            # ``src``'s buffer, and training donates the transferred state —
+            # a later reuse of src (e.g. transferring one pretrain into two
+            # curriculum variants) would hit deleted buffers.
+            return jnp.array(s, dtype=d.dtype)
         if s.ndim == d.ndim and all(a <= b for a, b in zip(s.shape, d.shape)):
             return d.at[tuple(slice(0, n) for n in s.shape)].set(
                 s.astype(d.dtype)

@@ -52,6 +52,12 @@ def scene_to_desc(scene) -> dict:
             "cell": float(scene.hf_cell),
             "height": np.round(np.asarray(scene.hf_height), 3).tolist(),
         }
+    if scene.has_tris:
+        desc["tris"] = {
+            "a": np.round(np.asarray(scene.tri_a), 4).tolist(),
+            "b": np.round(np.asarray(scene.tri_b), 4).tolist(),
+            "c": np.round(np.asarray(scene.tri_c), 4).tolist(),
+        }
     return desc
 
 
@@ -73,15 +79,24 @@ def dump_trajectory(
     names let a ~50-line three.js page replay an episode.
     """
     frames = []
-    fk = jax.jit(
-        lambda q: forward_kinematics(model, q, jnp.zeros(model.nv)).pos
-    )
+    sph_frames = []
+
+    def _fk(q):
+        fd = forward_kinematics(model, q, jnp.zeros(model.nv))
+        centers = fd.pos[model.sph_link] + jnp.einsum(
+            "sij,sj->si", fd.rot[model.sph_link], model.sph_pos
+        )
+        return fd.pos, centers
+
+    fk = jax.jit(_fk)
     sel = list(range(0, qs.shape[0], every))
     for t in sel:
-        pos = np.asarray(fk(jnp.asarray(qs[t])))
-        frames.append(np.round(pos, 4).tolist())
+        pos, centers = fk(jnp.asarray(qs[t]))
+        frames.append(np.round(np.asarray(pos), 4).tolist())
+        sph_frames.append(np.round(np.asarray(centers), 4).tolist())
     doc = {
         "link_names": list(model.link_names),
+        "parent": np.asarray(model.parent).tolist(),
         "spheres": {
             "link": np.asarray(model.sph_link).tolist(),
             "pos": np.round(np.asarray(model.sph_pos), 4).tolist(),
@@ -90,6 +105,9 @@ def dump_trajectory(
         "scene": scene_desc or {},
         "fps": None,
         "frames": frames,
+        # exact world sphere centers per frame (link rotation applied) —
+        # what the interactive viewer (harness/viewer.py) draws
+        "sphere_frames": sph_frames,
     }
     if markers is not None:
         m = np.asarray(markers)

@@ -254,4 +254,5 @@ def make_cassie(
         raw_step=raw_step,
         obs_fn=obs_fn,
         control_dt=config.control_dt,
+        model=model,
     )

@@ -350,4 +350,5 @@ def make_monkey3d_stepper(
         raw_step=raw_step,
         obs_fn=obs_fn,
         control_dt=config.control_dt,
+        model=model,
     )

@@ -310,4 +310,5 @@ def make_walker3d_custom(
         obs_fn=obs_fn,
         control_dt=config.control_dt,
         mirror=T.mirror_spec(model),
+        model=model,
     )

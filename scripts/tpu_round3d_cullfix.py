@@ -1,0 +1,96 @@
+"""Round-3d TPU session: re-measure stone culling with the one-hot select.
+
+3a measured the gather-based cull LOSING 38% (stepper window8 2.54M vs
+window0 4.08M env-steps/s): the per-env `stone_pos[idx]` gather scalarizes
+under vmap on TPU. cull_stones/cull_tris now select through a
+(W,K)@(K,11) HIGHEST-precision one-hot contraction instead. This session
+re-sweeps the stepper windows and, if culling still loses, the right
+default is stone_window=0 (flip in utils/config.py and re-gate).
+
+JSONL → scripts/tpu_round3d_results.jsonl.
+"""
+
+from __future__ import annotations
+
+import functools
+import json
+import os
+import time
+import traceback
+
+import jax
+import jax.numpy as jnp
+
+assert jax.default_backend() == "tpu", jax.default_backend()
+
+OUT = "scripts/tpu_round3d_results.jsonl"
+T0 = time.time()
+DEADLINE = float(os.environ.get("MOCCA_QUEUE_DEADLINE", T0 + 25 * 60))
+
+
+def emit(**kw):
+    kw["t"] = round(time.time() - T0, 1)
+    line = json.dumps(kw)
+    print("RESULT", line, flush=True)
+    with open(OUT, "a") as f:
+        f.write(line + "\n")
+
+
+from mocca_envs_tpu.core import rng as rng_mod
+from mocca_envs_tpu.tasks.walker_stepper import make_walker3d_stepper
+from mocca_envs_tpu.utils.config import EngineConfig
+
+
+def bench_env(env, B=4096, T=600, rounds=3, tag=""):
+    keys = rng_mod.env_keys(rng_mod.root_key(0), B)
+    state = jax.jit(jax.vmap(env.init))(keys)
+
+    @functools.partial(jax.jit, donate_argnums=(0,))
+    def rollout(state, key):
+        def body(carry, _):
+            state, key = carry
+            key, ka = jax.random.split(key)
+            a = jax.random.uniform(ka, (B, env.act_dim), minval=-1.0, maxval=1.0)
+            tr = jax.vmap(env.step)(state, a)
+            return (tr.state, key), ()
+
+        (state, key), _ = jax.lax.scan(body, (state, key), None, length=T)
+        return state, key
+
+    key = jax.random.key(1)
+    tC = time.perf_counter()
+    state, key = rollout(state, key)
+    jax.block_until_ready(state.q)
+    compile_s = time.perf_counter() - tC
+    times = []
+    for _ in range(rounds):
+        t0 = time.perf_counter()
+        state, key = rollout(state, key)
+        jax.block_until_ready(state.q)
+        times.append(time.perf_counter() - t0)
+    rate = B * T / min(times)
+    emit(phase="bench", tag=tag, batch=B, steps=T,
+         env_steps_per_s=round(rate),
+         all_round_s=[round(x, 4) for x in times],
+         compile_s=round(compile_s, 1),
+         finite=bool(jnp.all(jnp.isfinite(state.q))),
+         z_mean=round(float(state.q[:, 2].mean()), 3))
+    return rate
+
+
+for win in (0, 6, 8, 12):
+    if time.time() > DEADLINE:
+        emit(phase="skipped", tag=f"win{win}", reason="deadline")
+        continue
+    try:
+        bench_env(
+            make_walker3d_stepper(config=EngineConfig(stone_window=win),
+                                  name=f"StepperOH{win}"),
+            tag=f"stepper_onehot_window{win}",
+        )
+    except Exception:
+        traceback.print_exc()
+        emit(phase="bench", tag=f"win{win}", ok=False,
+             error=traceback.format_exc()[-300:])
+
+emit(phase="session_done", wall_s=round(time.time() - T0, 1))

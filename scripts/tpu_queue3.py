@@ -42,9 +42,25 @@ def deadline_for(script):
     return GLOBAL_END                            # 3c takes the rest
 
 
+def finished(script):
+    """A session that emitted session_done is complete — skip on restart."""
+    # results file convention: tpu_round3X_*.py → tpu_round3X_results.jsonl
+    import re
+
+    m = re.search(r"tpu_round3([a-z])", script)
+    path = f"scripts/tpu_round3{m.group(1)}_results.jsonl" if m else None
+    if not path or not os.path.exists(path):
+        return False
+    with open(path) as f:
+        return any('"session_done"' in line for line in f)
+
+
 for script in ("scripts/tpu_round3a_bench.py",
                "scripts/tpu_round3b_allsteps.py",
                "scripts/tpu_round3c_monkey.py"):
+    if finished(script):
+        print(f"QUEUE: {script} already finished — skipping", flush=True)
+        continue
     dl = deadline_for(script)
     if dl <= time.time():
         print(f"QUEUE: no time left for {script}", flush=True)

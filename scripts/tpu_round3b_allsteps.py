@@ -334,36 +334,31 @@ P1 = guarded("pretrain_s1", pretrain, 1, f"{CKPT}/r3_pretrain_s1",
 res_v1 = res_v2 = None
 if P1 is not None:
     pre_learner, pre_state = P1
-    # P2+P3: validated recipe
-    res_v1 = stepper_pipeline(1, "v1", pre_state, pre_learner)
-    # P4: new-tools recipe (skip if deadline close)
-    if time_left() > 3600:
-        res_v2 = stepper_pipeline(1, "v2", pre_state, pre_learner)
-
-    # P5: grounded trained-policy benches
+    # grounded trained-policy walker bench first (cheap, VERDICT r2 #3)
     guarded("bench_walker_policy", bench_policy, WALKER, pre_learner.net,
             pre_state.params, pre_state.obs_norm, "walker_policy_b4096")
-    winner = None
-    if res_v1 and res_v2:
-        winner = res_v1 if (res_v1["score"] or 0) >= (res_v2["score"] or 0) \
-            else res_v2
-    else:
-        winner = res_v1 or res_v2
-    if winner and winner["ft_state"] is not None:
-        st = winner["ft_state"]
-        guarded("bench_stepper_policy", bench_policy, winner["env"],
-                winner["learner"].net, st.params, st.obs_norm,
+
+    # P2+P3: validated recipe, seed 1
+    res_v1 = stepper_pipeline(1, "v1", pre_state, pre_learner)
+    if res_v1 and res_v1["ft_state"] is not None:
+        st = res_v1["ft_state"]
+        guarded("bench_stepper_policy", bench_policy, res_v1["env"],
+                res_v1["learner"].net, st.params, st.obs_norm,
                 "stepper_policy_b4096")
 
-    # P6: second seed on the winner recipe
-    which = "v1" if winner is res_v1 else "v2"
-    emit(phase="winner", variant=which,
-         score=None if winner is None else winner["score"])
-    if time_left() > 5400:
+    # P6 (moved up): SECOND SEED of the headline recipe — the ≥2-seeds
+    # requirement outranks the exploratory v2 variant
+    if time_left() > 4800:
         P1b = guarded("pretrain_s2", pretrain, 2, f"{CKPT}/r3_pretrain_s2",
                       "pretrain_s2")
         if P1b is not None:
-            _, pre2 = P1b
-            stepper_pipeline(2, which, pre2, P1b[0])
+            stepper_pipeline(2, "v1", P1b[1], P1b[0])
+
+    # P4: new-tools recipe with whatever time remains
+    if time_left() > 3600:
+        res_v2 = stepper_pipeline(1, "v2", pre_state, pre_learner)
+    emit(phase="summary",
+         v1_score=None if res_v1 is None else res_v1["score"],
+         v2_score=None if res_v2 is None else res_v2["score"])
 
 emit(phase="session_done", wall_s=round(time.time() - T0, 1))

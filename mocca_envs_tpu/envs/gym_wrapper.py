@@ -36,6 +36,9 @@ class GymEnv:
         self._reset_count = 0
         self.observation_space_shape = (env.obs_dim,)
         self.action_space_shape = (env.act_dim,)
+        # render("human") accumulator → interactive HTML on close()
+        self._human_qs = None
+        self._human_path = f"{env.name.lower()}_view.html"
 
     # -- reference API surface -------------------------------------------
     def seed(self, seed: int):
@@ -75,6 +78,16 @@ class GymEnv:
         s = self._state
         if mode == "state":
             return {"q": np.asarray(s.q), "qd": np.asarray(s.qd)}
+        if mode == "human":
+            # the reference pops a pybullet GUI window here; the TPU-native
+            # shape is record→interactive replay: each call appends the
+            # current frame, close() writes a standalone HTML viewer
+            # (harness/viewer.py — orbit/zoom/camera-follow/pause/scrub)
+            # whose path this returns.
+            if self._human_qs is None:
+                self._human_qs = []
+            self._human_qs.append(np.asarray(s.q))
+            return self._human_path
         if mode != "rgb_array":
             raise ValueError(f"unknown render mode {mode!r}")
         import matplotlib
@@ -127,7 +140,38 @@ class GymEnv:
         return buf
 
     def close(self):
+        if self._human_qs:
+            self._flush_human_render()
         self._state = None
+
+    def _flush_human_render(self) -> str:
+        """Write the accumulated render("human") frames as an interactive
+        HTML viewer; returns the path. Needs the env's RobotModel."""
+        model = self._env.model
+        if model is None:
+            raise ValueError(
+                f"{self._env.name} carries no RobotModel — human render "
+                "needs FK replay"
+            )
+        import tempfile
+
+        from mocca_envs_tpu.harness.viewer import export_html
+        from mocca_envs_tpu.harness.viz import dump_trajectory, scene_to_desc
+
+        import json as _json
+        import os as _os
+
+        with tempfile.TemporaryDirectory() as td:
+            tmp = _os.path.join(td, "traj.json")
+            dump_trajectory(
+                model, np.stack(self._human_qs), tmp,
+                scene_desc=scene_to_desc(self._state.scene),
+            )
+            with open(tmp) as f:
+                doc = _json.load(f)
+        out = export_html(doc, self._human_path)
+        self._human_qs = None
+        return out
 
     @property
     def state(self):

@@ -52,6 +52,30 @@ def test_export_html_embeds_doc_and_controls(stairs_doc, tmp_path):
                                                     script.count(c))
 
 
+def test_gym_render_human_writes_viewer(tmp_path, monkeypatch):
+    """GymEnv.render("human"): accumulate frames, close() writes the
+    interactive HTML — the reference's GUI mode, record→replay shape."""
+    import jax
+
+    import mocca_envs_tpu
+    from mocca_envs_tpu.envs.gym_wrapper import GymEnv
+
+    import numpy as np
+
+    env = GymEnv(mocca_envs_tpu.make("Walker3DCustomEnv"))
+    env._human_path = str(tmp_path / "human.html")
+    env.reset()
+    for _ in range(3):
+        env.step(np.zeros(env.action_space_shape))
+        path = env.render("human")
+    assert path == env._human_path
+    env.close()
+    html = open(env._human_path).read()
+    assert "requestAnimationFrame" in html
+    m = re.search(r"const DOC = (\{.*?\});\n", html, re.S)
+    assert len(json.loads(m.group(1))["frames"]) == 3
+
+
 def test_viewer_cli_from_dump(tmp_path, stairs_doc):
     from mocca_envs_tpu.harness import viewer
 

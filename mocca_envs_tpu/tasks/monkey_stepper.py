@@ -64,6 +64,16 @@ class MonkeyParams(struct.PyTreeNode):
     max_steps: jnp.ndarray = struct.field(
         default_factory=lambda: jnp.asarray(1000, jnp.int32)
     )
+    # RELEASE-TIMING shaping (round-3, VERDICT r2 #4): passive hanging is a
+    # local optimum — alive_bonus × max_steps dwarfs risky bar bonuses.
+    # ``hold_grace`` caps how many control steps after the last bar hit the
+    # alive bonus keeps paying (big default = off, preserving the round-2
+    # reward exactly); ``w_swing`` pays horizontal CoM velocity TOWARD the
+    # next bar while holding — the gradient path to pumping a swing.
+    hold_grace: jnp.ndarray = struct.field(
+        default_factory=lambda: jnp.asarray(10_000, jnp.int32)
+    )
+    w_swing: jnp.ndarray = struct.field(default_factory=lambda: jnp.asarray(0.0))
 
     def set_curriculum(self, stage) -> "MonkeyParams":
         return self.replace(stage=jnp.asarray(stage, jnp.float32))
@@ -78,6 +88,10 @@ class MonkeyTaskState(struct.PyTreeNode):
     hold_bar: jnp.ndarray      # (2,) int32 bar index each hand holds (−1 none)
     potential: jnp.ndarray
     stage: jnp.ndarray         # per-env curriculum stage (dynamic)
+    # control steps since the last bar hit (drives the hold_grace window)
+    since_hit: jnp.ndarray = struct.field(
+        default_factory=lambda: jnp.zeros((), jnp.int32)
+    )
 
 
 def set_stage(state: EnvState, stage) -> EnvState:
@@ -312,9 +326,20 @@ def make_monkey3d_stepper(
         costs = T.energy_costs(
             model, action[: model.nj], qd, params.w_electricity, params.w_stall
         )
+        # release-timing shaping: the alive bonus stops paying hold_grace
+        # steps after the last hit (hanging forever must not dominate), and
+        # horizontal CoM speed toward the next bar pays while holding
+        since_hit = jnp.where(hit, 0, task.since_hit + 1)
+        alive_ok = holding & (since_hit < params.hold_grace)
+        to_tgt = new_tgt[0:2] - q[0:2]
+        tgt_dir = to_tgt / jnp.maximum(jnp.linalg.norm(to_tgt), 1e-6)
+        swing = params.w_swing * jnp.maximum(
+            0.0, qd[0] * tgt_dir[0] + qd[1] * tgt_dir[1]
+        ) * holding.astype(q.dtype)
         reward = (
             progress
-            + jnp.where(holding, params.alive_bonus, 0.0)
+            + jnp.where(alive_ok, params.alive_bonus, 0.0)
+            + swing
             - costs
             + params.bar_bonus * hit.astype(q.dtype)
             + params.success_bonus * success.astype(q.dtype)
@@ -328,6 +353,7 @@ def make_monkey3d_stepper(
                 bar_pos=task.bar_pos, bar_dir=task.bar_dir,
                 next_bar=next_bar, attached=attached, anchor=anchor,
                 hold_bar=hold_bar, potential=potential, stage=task.stage,
+                since_hit=since_hit,
             ),
         )
         obs = full_obs(new_state)

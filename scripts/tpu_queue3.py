@@ -11,6 +11,7 @@ everything) → 3b (ALLSTEPS pipeline ×2 recipes ×2 seeds, the round's
 centerpiece) → 3c (monkey swing chains).
 """
 
+import json
 import os
 import runpy
 import sys
@@ -39,7 +40,9 @@ def deadline_for(script):
         return min(now + 50 * 60, GLOBAL_END - 3.2 * 3600)
     if script.endswith("3b_allsteps.py"):
         return GLOBAL_END - 1.6 * 3600          # leave the monkey its slot
-    return GLOBAL_END                            # 3c takes the rest
+    if script.endswith("3c_monkey.py") or script.endswith("3e_monkey2.py"):
+        return GLOBAL_END - 0.4 * 3600          # leave the cull re-sweep 25'
+    return GLOBAL_END
 
 
 def finished(script):
@@ -52,12 +55,23 @@ def finished(script):
     if not path or not os.path.exists(path):
         return False
     with open(path) as f:
-        return any('"session_done"' in line for line in f)
+        for line in f:
+            if '"session_done"' not in line:
+                continue
+            try:
+                d = json.loads(line)
+            except Exception:
+                continue
+            if d.get("ok", True):
+                return True
+    return False
 
 
 for script in ("scripts/tpu_round3a_bench.py",
                "scripts/tpu_round3b_allsteps.py",
-               "scripts/tpu_round3c_monkey.py"):
+               "scripts/tpu_round3c_monkey.py",
+               "scripts/tpu_round3e_monkey2.py",
+               "scripts/tpu_round3d_cullfix.py"):
     if finished(script):
         print(f"QUEUE: {script} already finished — skipping", flush=True)
         continue

@@ -121,9 +121,20 @@ def train(learner, ckpt_dir, n_updates, tag, seed=1, seed_state=None,
     state = learner.init(seed=seed)
     start = mgr.latest_step()
     if start is not None:
-        state = mgr.restore(state, start)
-        emit(phase=tag, resumed_from=start)
-    else:
+        try:
+            state = mgr.restore(state, start)
+            emit(phase=tag, resumed_from=start)
+        except Exception:
+            # pytree structure moved under the checkpoint (e.g. Scene grew
+            # fields) — wipe and start fresh rather than dying
+            import shutil
+            mgr.close()
+            shutil.rmtree(ckpt_dir, ignore_errors=True)
+            mgr = CheckpointManager(ckpt_dir, max_to_keep=2)
+            state = learner.init(seed=seed)
+            start = None
+            emit(phase=tag, resume_failed="structure mismatch — wiped")
+    if start is None:
         start = 0
         if seed_state is not None:
             state = seed_state
@@ -262,8 +273,17 @@ def pretrain(seed, ckpt_dir, tag):
     state = learner.init(seed=seed)
     start = mgr.latest_step() or 0
     if start:
-        state = mgr.restore(state, start)
-        emit(phase=tag, resumed_from=start)
+        try:
+            state = mgr.restore(state, start)
+            emit(phase=tag, resumed_from=start)
+        except Exception:
+            import shutil
+            mgr.close()
+            shutil.rmtree(ckpt_dir, ignore_errors=True)
+            mgr = CheckpointManager(ckpt_dir, max_to_keep=2)
+            state = learner.init(seed=seed)
+            start = 0
+            emit(phase=tag, resume_failed="structure mismatch — wiped")
     t0 = time.time()
     u = start
     for u in range(start, 3000):
@@ -361,4 +381,5 @@ if P1 is not None:
          v1_score=None if res_v1 is None else res_v1["score"],
          v2_score=None if res_v2 is None else res_v2["score"])
 
-emit(phase="session_done", wall_s=round(time.time() - T0, 1))
+emit(phase="session_done", ok=bool(P1 is not None and res_v1 is not None),
+     wall_s=round(time.time() - T0, 1))

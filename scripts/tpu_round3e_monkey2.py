@@ -1,19 +1,17 @@
-"""Round-3c TPU session: monkey brachiation — swing chains (VERDICT r2 #4).
+"""Round-3e TPU session: monkey with RELEASE-TIMING shaping (VERDICT r2 #4).
 
-Round-2 state: bar-dominated reward + spacing curriculum reached
-bars_reached ≈ 1.95 (one swing). This session applies the stepper's full
-winning recipe to the monkey: bar-dominated reward, per-env spacing
-curriculum from overlap-easy, exploration floor −1.0 for the whole main
-run, THEN a floor anneal fine-tune (the lever that was never applied to
-the monkey). Target: ep-end mean bars_reached ≥ 4 at a non-trivial stage.
+3c (bar-dominated reward + spacing curriculum + floor anneal) plateaus at
+bars ≈ 2 with entropy pinned on the floor by u650 — passive hanging is the
+local optimum the alive bonus funds. This session adds the round-3 shaping
+knobs (tasks/monkey_stepper.py):
 
-  P1  main run: bar_bonus 18, alive 0.3, adv_threshold 4 (advance on a
-      2-swing chain — round-2's 6 made stage 1 nearly unreachable, so the
-      curriculum never engaged), floor −1.0, 3000 u → ckpt/r3_monkey
-  P2  floor-anneal ft −1 → −2 over 600 u, 800 u → ckpt/r3_monkey_ft
-  P3  ep-end evals (bars mean/p90, stage distribution) after each phase
+  - hold_grace=60: the alive bonus stops paying 1 s after the last bar
+    hit — hanging without progress earns nothing while energy costs tick;
+  - w_swing=0.5: horizontal CoM velocity TOWARD the next bar pays while
+    holding — the gradient path from hang → pump → release.
 
-JSONL → scripts/tpu_round3c_results.jsonl.
+P1 main 2500 u (ckpt/r3_monkey2) → P2 floor-anneal ft 800 u → P3 evals.
+Target: ep-end mean bars_reached ≥ 4. JSONL → tpu_round3e_results.jsonl.
 """
 
 from __future__ import annotations
@@ -30,9 +28,9 @@ import jax.numpy as jnp
 
 assert jax.default_backend() == "tpu", jax.default_backend()
 
-OUT = "scripts/tpu_round3c_results.jsonl"
+OUT = "scripts/tpu_round3e_results.jsonl"
 T0 = time.time()
-DEADLINE = float(os.environ.get("MOCCA_QUEUE_DEADLINE", T0 + 2.0 * 3600))
+DEADLINE = float(os.environ.get("MOCCA_QUEUE_DEADLINE", T0 + 1.5 * 3600))
 
 
 def emit(**kw):
@@ -57,6 +55,8 @@ MP = MonkeyParams().replace(
     adv_threshold=jnp.asarray(4.0, jnp.float32),
     bar_bonus=jnp.asarray(18.0, jnp.float32),
     alive_bonus=jnp.asarray(0.3, jnp.float32),
+    hold_grace=jnp.asarray(60, jnp.int32),
+    w_swing=jnp.asarray(0.5, jnp.float32),
 )
 MONKEY = mocca_envs_tpu.make("Monkey3DStepperEnv-v0", params=MP)
 CFG = PPOConfig(horizon=128, num_epochs=4, num_minibatches=32, lr=3e-4,
@@ -177,17 +177,20 @@ def guarded(tag, fn, *a, **kw):
 
 emit(phase="session_start", deadline_in_s=round(time_left()))
 learner = PPOLearner(MONKEY, CFG, num_envs=NUM_ENVS)
-state = guarded("monkey_main", train, learner, "/root/repo/ckpt/r3_monkey",
-                3000, "monkey_main")
+state = guarded("monkey2_main", train, learner, "/root/repo/ckpt/r3_monkey2",
+                2500, "monkey2_main")
 if state is not None:
-    guarded("eval_monkey_main", eval_monkey, learner, state, "eval_monkey_main")
+    guarded("eval_monkey2_main", eval_monkey, learner, state,
+            "eval_monkey2_main")
     ft_learner = PPOLearner(MONKEY, FT_CFG, num_envs=NUM_ENVS)
-    ft = guarded("monkey_ft", train, ft_learner, "/root/repo/ckpt/r3_monkey_ft",
-                 800, "monkey_ft", seed_state=state, zero_update_count=True)
+    ft = guarded("monkey2_ft", train, ft_learner,
+                 "/root/repo/ckpt/r3_monkey2_ft",
+                 800, "monkey2_ft", seed_state=state, zero_update_count=True)
     if ft is not None:
-        guarded("eval_monkey_ft", eval_monkey, ft_learner, ft, "eval_monkey_ft")
-        guarded("eval_monkey_ft_stoch", eval_monkey, ft_learner, ft,
-                "eval_monkey_ft", deterministic=False)
+        guarded("eval_monkey2_ft", eval_monkey, ft_learner, ft,
+                "eval_monkey2_ft")
+        guarded("eval_monkey2_ft_stoch", eval_monkey, ft_learner, ft,
+                "eval_monkey2_ft", deterministic=False)
 
 emit(phase="session_done", ok=bool(state is not None),
      wall_s=round(time.time() - T0, 1))

@@ -148,3 +148,51 @@ def test_obs_dim_and_finite(env):
     assert obs.shape == (env.obs_dim,)
     tr = jax.jit(env.step)(state, jnp.zeros(env.act_dim))
     assert bool(jnp.all(jnp.isfinite(tr.obs)))
+
+
+def test_release_timing_shaping_gates_alive_bonus():
+    """hold_grace: the alive bonus stops paying after grace steps without a
+    bar hit; w_swing pays toward-target CoM speed while holding (round-3
+    release-timing shaping — default-off knobs)."""
+    from mocca_envs_tpu.tasks.monkey_stepper import MonkeyParams, make_monkey3d_stepper
+
+    shaped = make_monkey3d_stepper(
+        params=MonkeyParams().replace(
+            hold_grace=jnp.asarray(3, jnp.int32),
+            w_swing=jnp.asarray(0.0),
+        ),
+        name="MonkeyGrace",
+    )
+    s = env_s = shaped.init(jax.random.key(0))
+    step = jax.jit(shaped.step_no_reset)
+    a = jnp.zeros(shaped.act_dim).at[-2].set(1.0)  # keep holding, no torque
+    rewards = []
+    for t in range(6):
+        tr = step(env_s, a)
+        env_s = tr.state
+        rewards.append(float(tr.reward))
+        assert int(env_s.task.since_hit) == t + 1
+    # within grace (steps 1..3): alive bonus paid; after: gated off — the
+    # reward must DROP by exactly the alive bonus once grace expires
+    # (costs ~0 at zero torque, passive swing keeps progress tiny)
+    early = np.mean(rewards[:2])
+    late = np.mean(rewards[4:])
+    assert early - late > 0.5, (early, late)  # default alive_bonus = 1.0
+
+    # w_swing: identical state, nonzero swing weight, moving toward target
+    swung = make_monkey3d_stepper(
+        params=MonkeyParams().replace(w_swing=jnp.asarray(2.0)),
+        name="MonkeySwing",
+    )
+    s0 = swung.init(jax.random.key(0))
+    to_tgt = s0.task.bar_pos[1][0:2] - s0.q[0:2]
+    dirn = to_tgt / jnp.linalg.norm(to_tgt)
+    qd_fwd = s0.qd.at[0:2].set(1.5 * dirn)
+    s_fwd = s0.replace(qd=qd_fwd)
+    s_bwd = s0.replace(qd=s0.qd.at[0:2].set(-1.5 * dirn))
+    r_fwd = float(jax.jit(swung.step_no_reset)(s_fwd, a).reward)
+    r_bwd = float(jax.jit(swung.step_no_reset)(s_bwd, a).reward)
+    # forward swing pays the shaping term; backward gets none of it.
+    # (progress differs too — both push the same direction, so the gap is
+    # strictly positive and large)
+    assert r_fwd - r_bwd > 1.0, (r_fwd, r_bwd)

@@ -44,6 +44,13 @@ def main() -> None:
     rounds = int(os.environ.get("BENCH_ROUNDS", "1" if quick else "3"))
 
     env_id = os.environ.get("BENCH_ENV", "Walker3DCustomEnv-v0")
+    if env_id == "Walker3DCustomEnv-v0" and "MOCCA_TILE" not in os.environ:
+        # round-3a tile sweep: the walker kernel runs 3.4% faster at
+        # 2048-env tiles (12.03M vs 11.63M env-steps/s at B=4096 —
+        # scripts/tpu_round3a_results.jsonl). Family-specific: other
+        # kernels carry more VMEM per lane (terrain patches, stone
+        # windows), so only the headline env flips the default.
+        os.environ["MOCCA_TILE"] = "2048"
     env = mocca_envs_tpu.make(env_id)
 
     keys = rng_mod.env_keys(rng_mod.root_key(0), B)

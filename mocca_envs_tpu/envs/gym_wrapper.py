@@ -123,6 +123,15 @@ class GymEnv:
                         color="tab:gray", alpha=0.8,
                     )
                 )
+        if getattr(sc, "has_tris", False):
+            # mesh faces as x–z segments (enough to see stairs/ramps)
+            a = np.asarray(sc.tri_a)
+            b = np.asarray(sc.tri_b)
+            c = np.asarray(sc.tri_c)
+            for k in range(a.shape[0]):
+                for p0, p1 in ((a[k], b[k]), (b[k], c[k]), (c[k], a[k])):
+                    ax.plot([p0[0], p1[0]], [p0[2], p1[2]],
+                            color="tab:purple", lw=0.8, alpha=0.6)
         if getattr(sc, "has_bars", False):
             a = np.asarray(sc.bar_a)
             b = np.asarray(sc.bar_b)

@@ -93,4 +93,26 @@ for win in (0, 6, 8, 12):
         emit(phase="bench", tag=f"win{win}", ok=False,
              error=traceback.format_exc()[-300:])
 
+# roofline candidate: fewer PGS sweeps under warm start (walker). NOT a
+# shipping change — physics gates must pass first; this just measures the
+# available headroom (BENCH.md round-3 roofline statement).
+from mocca_envs_tpu.tasks.walker_custom import make_walker3d_custom
+
+for iters in (3,):
+    if time.time() > DEADLINE:
+        emit(phase="skipped", tag=f"walker_iters{iters}", reason="deadline")
+        continue
+    try:
+        os.environ["MOCCA_TILE"] = "2048"
+        bench_env(
+            make_walker3d_custom(config=EngineConfig(solver_iters=iters),
+                                 name=f"WalkerIt{iters}"),
+            tag=f"walker_iters{iters}_tile2048",
+        )
+    except Exception:
+        traceback.print_exc()
+        emit(phase="bench", tag=f"walker_iters{iters}", ok=False)
+    finally:
+        os.environ.pop("MOCCA_TILE", None)
+
 emit(phase="session_done", wall_s=round(time.time() - T0, 1))

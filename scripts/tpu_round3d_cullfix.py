@@ -93,6 +93,48 @@ for win in (0, 6, 8, 12):
         emit(phase="bench", tag=f"win{win}", ok=False,
              error=traceback.format_exc()[-300:])
 
+# ---- learner-cost decomposition: training runs at ~1.3M steps/s on the
+# walker while the physics alone does 11.6M — locate the other ~85%.
+# Variants toggle one suspect each; deltas assign the cost.
+def bench_train(tag, cfg_kwargs, env=None):
+    import mocca_envs_tpu
+    from mocca_envs_tpu.harness.ppo import PPOConfig, PPOLearner
+
+    env = env or mocca_envs_tpu.make("Walker3DCustomEnv-v0")
+    cfg = PPOConfig(horizon=128, log_std_min=-1.0, **cfg_kwargs)
+    learner = PPOLearner(env, cfg, num_envs=4096)
+    state = learner.init(seed=0)
+    state, _ = learner.train_step(state)
+    jax.block_until_ready(state.params)
+    t0 = time.perf_counter()
+    N = 5
+    for _ in range(N):
+        state, _ = learner.train_step(state)
+    jax.block_until_ready(state.params)
+    dt = (time.perf_counter() - t0) / N
+    emit(phase="train_decomp", tag=tag, s_per_update=round(dt, 4),
+         env_steps_per_s=round(4096 * 128 / dt))
+    return dt
+
+
+if time.time() < DEADLINE:
+    try:
+        bench_train("full_m32e4_mirror", dict(
+            num_epochs=4, num_minibatches=32, mirror_coef=4.0,
+            reward_scale=0.1))
+        bench_train("no_mirror", dict(
+            num_epochs=4, num_minibatches=32, reward_scale=0.1))
+        bench_train("e1_m32", dict(
+            num_epochs=1, num_minibatches=32, reward_scale=0.1))
+        bench_train("e4_m4", dict(
+            num_epochs=4, num_minibatches=4, reward_scale=0.1))
+        bench_train("e1_m1", dict(
+            num_epochs=1, num_minibatches=1, reward_scale=0.1))
+    except Exception:
+        traceback.print_exc()
+        emit(phase="train_decomp", ok=False,
+             error=traceback.format_exc()[-300:])
+
 # roofline candidate: fewer PGS sweeps under warm start (walker). NOT a
 # shipping change — physics gates must pass first; this just measures the
 # available headroom (BENCH.md round-3 roofline statement).

@@ -124,7 +124,14 @@ def _make_walker3d_stairs(**kw):
     )
 
 
+def _make_walker3d_terrain_lidar(**kw):
+    return make_walker3d_terrain(
+        name="Walker3DTerrainLidarEnv", lidar=True, **kw
+    )
+
+
 register("Walker3DTerrainEnv", make_walker3d_terrain)
+register("Walker3DTerrainLidarEnv", _make_walker3d_terrain_lidar)
 register("Walker3DStairsEnv", _make_walker3d_stairs)
 register("Walker2DCustomEnv", _make_walker2d_custom)
 register("Crab2DCustomEnv", _make_crab2d_custom)

@@ -64,6 +64,20 @@ PROBE_OFFSETS = np.array(
 _PROBE_MIRROR = (0, 1, 2, 4, 3, 6, 5, 7)
 
 
+# LIDAR mode (Walker3DTerrainLidarEnv): 8 oblique rays fanned ±75° in the
+# heading frame, pitched 45° down, marched against the SAME per-control-step
+# patch the narrowphase uses — the oblique-ray consumer of the raycast
+# design (SURVEY.md §2.3 rayTest row; ops/pallas/raycast.py holds the
+# shared-grid Mosaic kernel + oracle, gate: tests/test_raycast.py). Marching
+# samples via hf_sample_onehot (one MXU contraction per step — a vmapped
+# gather would scalarize, see cull_stones).
+LIDAR_YAWS = np.linspace(-1.309, 1.309, 8).astype(np.float32)   # ±75°
+LIDAR_PITCH = np.float32(np.pi / 4)
+LIDAR_MAX_T = 2.2
+LIDAR_STEPS = 16
+_LIDAR_MIRROR = tuple(range(7, -1, -1))   # symmetric fan reverses
+
+
 def make_walker3d_terrain(
     config: EngineConfig | None = None,
     params: WalkerParams | None = None,
@@ -72,6 +86,7 @@ def make_walker3d_terrain(
     extent: float = 20.0,
     amplitude: float = 0.25,
     terrain_seed: int = 0,
+    lidar: bool = False,
 ):
     """Walker walk-to-target on a heightfield.
 
@@ -148,8 +163,51 @@ def make_walker3d_terrain(
         h = hf_sample_onehot(scn, pts)
         return h[:K] - h[K]
 
+    cp, sp = float(np.cos(LIDAR_PITCH)), float(np.sin(LIDAR_PITCH))
+    lidar_local = jnp.stack(
+        [
+            cp * jnp.cos(jnp.asarray(LIDAR_YAWS)),
+            cp * jnp.sin(jnp.asarray(LIDAR_YAWS)),
+            -sp * jnp.ones(len(LIDAR_YAWS)),
+        ],
+        axis=1,
+    )                                                     # (R, 3)
+    R = lidar_local.shape[0]
+
+    def _lidar(state: EnvState, sample_scene: Scene | None = None) -> jnp.ndarray:
+        """Normalized hit parameters of the oblique ray fan, marched by
+        fixed-step sampling against the (patch) heightfield."""
+        scn = state.scene if sample_scene is None else sample_scene
+        yaw = T.heading_yaw(state.q)
+        c, s = jnp.cos(yaw), jnp.sin(yaw)
+        dw = jnp.stack(
+            [
+                c * lidar_local[:, 0] - s * lidar_local[:, 1],
+                s * lidar_local[:, 0] + c * lidar_local[:, 1],
+                lidar_local[:, 2],
+            ],
+            axis=1,
+        )                                                 # (R, 3)
+        origin = state.q[0:3] + jnp.array([0.0, 0.0, 0.3])
+        dt = LIDAR_MAX_T / LIDAR_STEPS
+
+        def body(i, t_hit):
+            t = (i + 1).astype(jnp.float32) * dt
+            p = origin[None, :] + t * dw                  # (R, 3)
+            h = hf_sample_onehot(scn, p[:, :2])
+            first = (p[:, 2] <= h) & (t_hit >= LIDAR_MAX_T)
+            return jnp.where(first, t, t_hit)
+
+        t_hit = jax.lax.fori_loop(
+            0, LIDAR_STEPS, body, jnp.full((R,), LIDAR_MAX_T)
+        )
+        return t_hit / LIDAR_MAX_T
+
     def obs_fn(state: EnvState) -> jnp.ndarray:
-        return jnp.concatenate([base.obs_fn(state), _probes(state)])
+        parts = [base.obs_fn(state), _probes(state)]
+        if lidar:
+            parts.append(_lidar(state))
+        return jnp.concatenate(parts)
 
     def raw_step(state: EnvState, action):
         # ONE P×P patch extraction per control step, shared by the fused
@@ -167,28 +225,40 @@ def make_walker3d_terrain(
         tgt = st.task.target
         tz = hf_sample_onehot(state.scene, tgt[None, :2])[0]
         st = st.replace(task=st.task.replace(target=tgt.at[2].set(tz)))
-        obs = jnp.concatenate([tr.obs, _probes(st, sample_scene=patch)])
+        parts = [tr.obs, _probes(st, sample_scene=patch)]
+        if lidar:
+            # same shared patch: the fan's horizontal reach (2.2·cos45° ≈
+            # 1.56 m) stays inside the ±1.9 m patch margin
+            parts.append(_lidar(st, sample_scene=patch))
+        obs = jnp.concatenate(parts)
         return tr.replace(state=st, obs=obs)
 
-    # extend the mirror maps: probe block permutes left/right, signs +1
+    # extend the mirror maps: probe block permutes left/right, signs +1;
+    # the lidar fan reverses (yaw-symmetric rays)
     mirror = dict(base.mirror)
     nb = base.obs_dim
-    mirror["obs_perm"] = jnp.concatenate(
-        [mirror["obs_perm"], nb + jnp.asarray(_PROBE_MIRROR, dtype=jnp.int32)]
-    )
+    extra_perm = [nb + jnp.asarray(_PROBE_MIRROR, dtype=jnp.int32)]
+    extra_dim = K
+    if lidar:
+        extra_perm.append(
+            nb + K + jnp.asarray(_LIDAR_MIRROR, dtype=jnp.int32)
+        )
+        extra_dim += len(_LIDAR_MIRROR)
+    mirror["obs_perm"] = jnp.concatenate([mirror["obs_perm"]] + extra_perm)
     mirror["obs_sign"] = jnp.concatenate(
-        [mirror["obs_sign"], jnp.ones(K, dtype=jnp.float32)]
+        [mirror["obs_sign"], jnp.ones(extra_dim, dtype=jnp.float32)]
     )
 
     from mocca_envs_tpu.envs.env import make_fn_env
 
     return make_fn_env(
         name=name,
-        obs_dim=base.obs_dim + K,
+        obs_dim=base.obs_dim + extra_dim,
         act_dim=base.act_dim,
         reset=reset,
         raw_step=raw_step,
         obs_fn=obs_fn,
         control_dt=base.control_dt,
         mirror=mirror,
+        model=base.model,
     )

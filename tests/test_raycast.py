@@ -70,3 +70,40 @@ def test_pallas_kernel_matches_reference_interpret():
     t_r, h_r = raycast_reference(origins, d, hf, xy0, cell, max_t=4.0, num_steps=16)
     np.testing.assert_allclose(np.asarray(t_k), np.asarray(t_r), atol=1e-5)
     np.testing.assert_allclose(np.asarray(h_k), np.asarray(h_r), atol=1e-5)
+
+
+def test_lidar_env_obliquerays_consume_raycast():
+    """Walker3DTerrainLidarEnv: the oblique-ray consumer (SURVEY §2.3
+    rayTest row). On flat terrain all 8 fan rays hit at the analytic
+    t = (z0 + 0.3)/sin(45°), quantized up to the march step."""
+    import mocca_envs_tpu
+    from mocca_envs_tpu.tasks.walker_terrain import (
+        LIDAR_MAX_T,
+        LIDAR_STEPS,
+        make_walker3d_terrain,
+    )
+
+    env = make_walker3d_terrain(
+        name="LidarFlat", amplitude=0.0, lidar=True
+    )
+    base_env = mocca_envs_tpu.make("Walker3DTerrainEnv")
+    assert env.obs_dim == base_env.obs_dim + 8
+    assert env.mirror["obs_perm"].shape == (env.obs_dim,)
+
+    s = env.init(jax.random.key(0))
+    obs = env.obs_fn(s)
+    rays = np.asarray(obs[-8:]) * LIDAR_MAX_T
+    z0 = float(s.q[2]) + 0.3
+    t_true = z0 / np.sin(np.pi / 4)
+    dt = LIDAR_MAX_T / LIDAR_STEPS
+    # all rays identical on flat ground, hit within one march step above
+    # the analytic parameter
+    np.testing.assert_allclose(rays, rays[0], atol=1e-6)
+    assert t_true <= rays[0] <= t_true + dt + 1e-6, (rays[0], t_true)
+
+    # registered extension steps finitely and keeps the ray block in [0, 1]
+    lenv = mocca_envs_tpu.make("Walker3DTerrainLidarEnv")
+    st = lenv.init(jax.random.key(1))
+    tr = jax.jit(lenv.step)(st, jnp.zeros(lenv.act_dim))
+    assert bool(jnp.all(jnp.isfinite(tr.obs)))
+    assert float(tr.obs[-8:].min()) >= 0.0 and float(tr.obs[-8:].max()) <= 1.0

@@ -25,7 +25,7 @@ for i in $(seq 1 40); do
       [ -f "$f" ] && M=$(stat -c %Y "$f") && [ "$M" -gt "$NEWEST" ] && NEWEST=$M
     done
     AGE=$((NOW-NEWEST)); ALIVE=$((NOW-START))
-    if [ $ALIVE -gt 2100 ] && [ $AGE -gt 1500 ]; then
+    if [ $ALIVE -gt 1200 ] && [ $AGE -gt 900 ]; then
       echo "WATCHDOG: stall (alive=${ALIVE}s, results age=${AGE}s) — killing $PID $(date)" >> $LOG
       kill $PID 2>/dev/null; sleep 10; kill -9 $PID 2>/dev/null
       break

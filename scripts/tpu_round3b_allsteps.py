@@ -151,13 +151,13 @@ def train(learner, ckpt_dir, n_updates, tag, seed=1, seed_state=None,
             log_metrics(tag, u + 1, metrics, state, t0,
                         every if u > start else 1)
             t0 = time.time()
-        if (u + 1) % 250 == 0:
+        if (u + 1) % 150 == 0:
             mgr.save(u + 1, state)
             mgr.wait()
         if time_left() < 600 and (u + 1) % 50 == 0:
             emit(phase=tag, truncated_at=u + 1, reason="deadline")
             break
-    if u + 1 > start and (u + 1) % 250 != 0:
+    if u + 1 > start and (u + 1) % 150 != 0:
         mgr.save(u + 1, state)
         mgr.wait()
     mgr.close()
@@ -295,7 +295,7 @@ def pretrain(seed, ckpt_dir, tag):
             log_metrics(tag, u + 1, metrics, state, t0,
                         50 if u > start else 1, extra={"speed": speed})
             t0 = time.time()
-            if (u + 1) % 250 == 0:
+            if (u + 1) % 150 == 0:
                 mgr.save(u + 1, state)
                 mgr.wait()
             if (speed > 1.2
@@ -303,7 +303,7 @@ def pretrain(seed, ckpt_dir, tag):
                     and u + 1 >= 300):
                 emit(phase=tag, update=u + 1, early_stop=True)
                 break
-    if u + 1 > start and (u + 1) % 250 != 0:
+    if u + 1 > start and (u + 1) % 150 != 0:
         mgr.save(u + 1, state)
         mgr.wait()
     mgr.close()

@@ -112,13 +112,13 @@ def train(learner, ckpt_dir, n_updates, tag, seed_state=None,
                 / max(time.time() - t0, 1e-9))
             t0 = time.time()
             emit(phase=tag, update=u + 1, **m)
-        if (u + 1) % 250 == 0:
+        if (u + 1) % 150 == 0:
             mgr.save(u + 1, state)
             mgr.wait()
         if time_left() < 420 and (u + 1) % 50 == 0:
             emit(phase=tag, truncated_at=u + 1, reason="deadline")
             break
-    if u + 1 > start and (u + 1) % 250 != 0:
+    if u + 1 > start and (u + 1) % 150 != 0:
         mgr.save(u + 1, state)
         mgr.wait()
     mgr.close()

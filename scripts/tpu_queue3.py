@@ -39,7 +39,7 @@ def deadline_for(script):
     if script.endswith("3a_bench.py"):
         return min(now + 50 * 60, GLOBAL_END - 3.2 * 3600)
     if script.endswith("3b_allsteps.py"):
-        return GLOBAL_END - 1.6 * 3600          # leave the monkey its slot
+        return GLOBAL_END - 1.2 * 3600          # monkey trains fast (1.4M/s)
     if script.endswith("3c_monkey.py") or script.endswith("3e_monkey2.py"):
         return GLOBAL_END - 0.4 * 3600          # leave the cull re-sweep 25'
     return GLOBAL_END

@@ -81,7 +81,7 @@ PRE_CFG = PPOConfig(horizon=128, num_epochs=4, num_minibatches=32, lr=3e-4,
 V1_CFG = PRE_CFG
 FT_CFG = PPOConfig(horizon=128, num_epochs=4, num_minibatches=32, lr=3e-4,
                    reward_scale=0.1, mirror_coef=4.0, log_std_min=-1.0,
-                   log_std_min_final=-2.0, log_std_anneal_updates=600)
+                   log_std_min_final=-2.0, log_std_anneal_updates=500)
 V2_CFG = PPOConfig(horizon=128, num_epochs=4, num_minibatches=32,
                    lr=3e-4, lr_final=1e-4, lr_anneal_updates=3500,
                    normalize_reward=True, mirror_coef=4.0, log_std_min=-1.0)
@@ -310,9 +310,12 @@ def pretrain(seed, ckpt_dir, tag):
     return learner, state
 
 
-def stepper_pipeline(seed, variant, pre_state, pre_learner):
-    """Transfer → curriculum train → floor-anneal ft → evals. Returns the
-    stage-2 det ep-end mean of the ft policy (winner metric)."""
+def stepper_pipeline(seed, variant, pre_state, pre_learner, do_ft=True,
+                     n_updates=2600, ft_updates=600):
+    """Transfer → curriculum train → (optional floor-anneal ft) → evals.
+    Returns the stage-2 det ep-end mean of the final policy. The pre-ft
+    state gets its own stage-2 eval (seed-variance comparison at matched
+    update count) BEFORE the ft phase donates its buffers."""
     cfg, ft_cfg = (V1_CFG, FT_CFG) if variant == "v1" else (V2_CFG, V2FT_CFG)
     name = f"r3_st_{variant}_s{seed}"
     env = make_walker3d_stepper(params=STONE_SP, name=f"Stepper_{variant}")
@@ -320,16 +323,20 @@ def stepper_pipeline(seed, variant, pre_state, pre_learner):
 
     dst = learner.init(seed=seed)
     seeded = transfer_train_state(pre_state, dst, reset_log_std=-0.5)
-    state = guarded(name, train, learner, f"{CKPT}/{name}", 3500, name,
+    state = guarded(name, train, learner, f"{CKPT}/{name}", n_updates, name,
                     seed=seed, seed_state=seeded)
     if state is None:
         return None
-    ft_learner = PPOLearner(
-        make_walker3d_stepper(params=STONE_SP, name=f"StepperF_{variant}"),
-        ft_cfg, num_envs=NUM_ENVS)
-    ft_state = guarded(
-        f"{name}_ft", train, ft_learner, f"{CKPT}/{name}_ft", 800,
-        f"{name}_ft", seed=seed, seed_state=state, zero_update_count=True)
+    guarded(f"eval_{name}_main", eval_fixed_stage, learner.net, state, 2,
+            f"eval_{name}_main")
+    ft_state = None
+    if do_ft:
+        ft_learner = PPOLearner(
+            make_walker3d_stepper(params=STONE_SP, name=f"StepperF_{variant}"),
+            ft_cfg, num_envs=NUM_ENVS)
+        ft_state = guarded(
+            f"{name}_ft", train, ft_learner, f"{CKPT}/{name}_ft", ft_updates,
+            f"{name}_ft", seed=seed, seed_state=state, zero_update_count=True)
     score = None
     best = ft_state if ft_state is not None else state
     label = f"eval_{name}" + ("_ft" if ft_state is not None else "")
@@ -339,7 +346,6 @@ def stepper_pipeline(seed, variant, pre_state, pre_learner):
             score = r["ep_end_steps_mean"]
     guarded(label, eval_fixed_stage, learner.net, best, 2, label,
             deterministic=False)
-    # (no pre-ft eval of `state`: the ft phase DONATED its buffers)
     return {"score": score, "ft_state": best,
             "learner": learner, "env": env}
 
@@ -367,12 +373,14 @@ if P1 is not None:
                 "stepper_policy_b4096")
 
     # P6 (moved up): SECOND SEED of the headline recipe — the ≥2-seeds
-    # requirement outranks the exploratory v2 variant
-    if time_left() > 4800:
+    # requirement outranks the exploratory v2 variant. No ft (the deadline
+    # is tight): its eval_*_main row compares against seed 1's at the same
+    # update count and exploration floor.
+    if time_left() > 1800:
         P1b = guarded("pretrain_s2", pretrain, 2, f"{CKPT}/r3_pretrain_s2",
                       "pretrain_s2")
         if P1b is not None:
-            stepper_pipeline(2, "v1", P1b[1], P1b[0])
+            stepper_pipeline(2, "v1", P1b[1], P1b[0], do_ft=False)
 
     # P4: new-tools recipe with whatever time remains
     if time_left() > 3600:

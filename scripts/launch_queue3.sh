@@ -37,6 +37,6 @@ for i in $(seq 1 40); do
     fi
   done
   wait $PID 2>/dev/null
-  if grep -q "QUEUE DONE" $LOG; then echo "ALL DONE $(date)" >> $LOG; exit 0; fi
+  if [ -f scripts/QUEUE3_DONE ]; then echo "ALL DONE $(date)" >> $LOG; exit 0; fi
   sleep 90
 done

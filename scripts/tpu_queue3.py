@@ -91,3 +91,5 @@ for script in ("scripts/tpu_round3a_bench.py",
         print(f"QUEUE: {script} FAILED", flush=True)
         sys.exit(1)
 print(f"QUEUE DONE in {time.time()-t0:.0f}s", flush=True)
+with open("scripts/QUEUE3_DONE", "w") as _f:
+    _f.write(str(time.time()))

@@ -97,6 +97,7 @@ def make_walker3d_stepper(
     model: RobotModel | None = None,
     name: str = "Walker3DStepperEnv",
     initial_z: float | None = None,
+    orient_obs: bool = False,
 ):
     model = model or walker3d.make_model()
     config = config or EngineConfig()
@@ -116,8 +117,13 @@ def make_walker3d_stepper(
         return wp.power * model.power_coef * model.actuated * jnp.clip(a, -1.0, 1.0)
 
     control = make_control_step(model, config, actuation=actuation)
-    # obs: walker block + two lookahead targets (Δxyz in heading frame)
-    obs_dim = 8 + 2 * model.nj + len(model.foot_links) + 6
+    # obs: walker block + two lookahead targets (Δxyz in heading frame);
+    # orient_obs appends the two stones' top-normal xy in the heading frame
+    # (SURVEY.md §2.2 B4 [K-med] "stone orientation terms" — end-stage
+    # stones tilt ±25°, so foothold tilt is task-relevant). Appended at the
+    # TAIL so the walker-prefix transfer embed stays valid; default OFF to
+    # keep round-3 checkpoints compatible.
+    obs_dim = 8 + 2 * model.nj + len(model.foot_links) + 6 + (4 if orient_obs else 0)
 
     def targets_obs(q, task: StepperTaskState) -> jnp.ndarray:
         """Next-two stone targets relative to the root, heading frame (B4)."""
@@ -126,7 +132,16 @@ def make_walker3d_stepper(
         idx1 = jnp.minimum(task.next_step + 1, K - 1)
         rel0 = T.to_heading_frame(yaw, task.stone_top[idx0] - q[0:3])
         rel1 = T.to_heading_frame(yaw, task.stone_top[idx1] - q[0:3])
-        return jnp.concatenate([rel0, rel1])
+        parts = [rel0, rel1]
+        if orient_obs:
+            from mocca_envs_tpu.core import quat as quat_ops
+
+            up = jnp.array([0.0, 0.0, 1.0])
+            n0 = quat_ops.rotate(task.stone_quat[idx0], up)
+            n1 = quat_ops.rotate(task.stone_quat[idx1], up)
+            parts.append(T.to_heading_frame(yaw, n0)[0:2])
+            parts.append(T.to_heading_frame(yaw, n1)[0:2])
+        return jnp.concatenate(parts)
 
     def full_obs(state: EnvState, foot_contact) -> jnp.ndarray:
         q, qd = state.q, state.qd
@@ -276,10 +291,13 @@ def make_walker3d_stepper(
         raw_step=raw_step,
         obs_fn=obs_fn,
         control_dt=config.control_dt,
-        # lookahead targets: Δxyz in heading frame ×2 — y components negate
+        # lookahead targets: Δxyz in heading frame ×2 — y components negate;
+        # orientation tail (n_x, n_y) ×2 — n_y negates
         mirror=T.mirror_spec(
             model,
-            extra_obs_perm=list(range(6)),
-            extra_obs_sign=[1.0, -1.0, 1.0, 1.0, -1.0, 1.0],
+            extra_obs_perm=list(range(6 + (4 if orient_obs else 0))),
+            extra_obs_sign=[1.0, -1.0, 1.0, 1.0, -1.0, 1.0]
+            + ([1.0, -1.0, 1.0, -1.0] if orient_obs else []),
         ),
+        model=model,
     )

@@ -218,3 +218,28 @@ def test_step_advance_machine_fires_on_stone_contact():
     assert hit_step is not None, "stone never registered as hit"
     assert int(state.task.next_step) == 2
     assert float(tr.reward) > 5.0  # step bonus dominates that step
+
+
+def test_orient_obs_appends_stone_normals():
+    """orient_obs=True (round-4 staging for SURVEY B4's stone orientation
+    terms): 4 tail dims = next-two stone top normals' heading-frame xy —
+    ~zero at stage 0 (flat stones), nonzero at stage 9 (tilt ±25°)."""
+    base = make_walker3d_stepper(name="StepperNoOrient")
+    env = make_walker3d_stepper(name="StepperOrient", orient_obs=True)
+    assert env.obs_dim == base.obs_dim + 4
+    assert env.mirror["obs_perm"].shape == (env.obs_dim,)
+    # mirror signs on the orientation tail: n_y negates
+    np.testing.assert_array_equal(
+        np.asarray(env.mirror["obs_sign"][-4:]), [1.0, -1.0, 1.0, -1.0]
+    )
+    s = env.init(jax.random.key(0))
+    tail = np.asarray(env.obs_fn(s)[-4:])
+    assert np.abs(tail).max() < 1e-5, tail  # stage 0: flat stones
+
+    hard = make_walker3d_stepper(
+        name="StepperOrientHard", orient_obs=True,
+        params=StepperParams.default().set_curriculum(9.0),
+    )
+    sh = hard.init(jax.random.key(3))
+    tailh = np.asarray(hard.obs_fn(sh)[-4:])
+    assert np.abs(tailh).max() > 0.05, tailh  # tilted stones visible

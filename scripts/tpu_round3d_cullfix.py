@@ -101,7 +101,7 @@ def bench_train(tag, cfg_kwargs, env=None):
     from mocca_envs_tpu.harness.ppo import PPOConfig, PPOLearner
 
     env = env or mocca_envs_tpu.make("Walker3DCustomEnv-v0")
-    cfg = PPOConfig(horizon=128, log_std_min=-1.0, **cfg_kwargs)
+    cfg = PPOConfig(log_std_min=-1.0, **{"horizon": 128, **cfg_kwargs})
     learner = PPOLearner(env, cfg, num_envs=4096)
     state = learner.init(seed=0)
     state, _ = learner.train_step(state)
@@ -113,23 +113,41 @@ def bench_train(tag, cfg_kwargs, env=None):
     jax.block_until_ready(state.params)
     dt = (time.perf_counter() - t0) / N
     emit(phase="train_decomp", tag=tag, s_per_update=round(dt, 4),
-         env_steps_per_s=round(4096 * 128 / dt))
+         env_steps_per_s=round(4096 * cfg.horizon / dt))
     return dt
 
 
 if time.time() < DEADLINE:
     try:
-        bench_train("full_m32e4_mirror", dict(
+        bench_train("walker_full_m32e4_mirror", dict(
             num_epochs=4, num_minibatches=32, mirror_coef=4.0,
             reward_scale=0.1))
-        bench_train("no_mirror", dict(
+        bench_train("walker_no_mirror", dict(
             num_epochs=4, num_minibatches=32, reward_scale=0.1))
-        bench_train("e1_m32", dict(
+        bench_train("walker_e1_m32", dict(
             num_epochs=1, num_minibatches=32, reward_scale=0.1))
-        bench_train("e4_m4", dict(
-            num_epochs=4, num_minibatches=4, reward_scale=0.1))
-        bench_train("e1_m1", dict(
+        bench_train("walker_e1_m1", dict(
             num_epochs=1, num_minibatches=1, reward_scale=0.1))
+    except Exception:
+        traceback.print_exc()
+        emit(phase="train_decomp", ok=False,
+             error=traceback.format_exc()[-300:])
+
+# the stepper trains ~7x SLOWER than the walker (2.85 vs 0.40 s/update at
+# b4096) while its ROLLOUT costs only +0.08s — locate the other ~2.3s
+if time.time() < DEADLINE:
+    try:
+        sw = make_walker3d_stepper(name="DecompStepper")
+        bench_train("stepper_full_m32e4_mirror", dict(
+            num_epochs=4, num_minibatches=32, mirror_coef=4.0,
+            reward_scale=0.1), env=sw)
+        bench_train("stepper_no_mirror", dict(
+            num_epochs=4, num_minibatches=32, reward_scale=0.1), env=sw)
+        bench_train("stepper_e1_m1", dict(
+            num_epochs=1, num_minibatches=1, reward_scale=0.1), env=sw)
+        bench_train("stepper_e1_m1_nomirror_h16", dict(
+            num_epochs=1, num_minibatches=1, horizon=16,
+            reward_scale=0.1), env=sw)
     except Exception:
         traceback.print_exc()
         emit(phase="train_decomp", ok=False,

@@ -171,6 +171,18 @@ def make_monkey3d_stepper(
     control = make_control_step(model, config, constraints=spec, actuation=actuation)
     obs_dim = 8 + 2 * model.nj + 2 + 6  # body, joints, hand-hold flags, 2 bars
 
+    def _row(arr, idx):
+        """arr[idx] via one-hot contraction — vmapped row gathers scalarize
+        on TPU (round-3a culling lesson); exact at HIGHEST precision."""
+        onehot = (jnp.arange(K) == idx).astype(
+            arr.dtype if arr.dtype.kind == "f" else jnp.float32
+        )
+        if arr.ndim == 1:
+            return jax.lax.dot(onehot, arr.astype(jnp.float32),
+                               precision=jax.lax.Precision.HIGHEST)
+        return jax.lax.dot(onehot, arr,
+                           precision=jax.lax.Precision.HIGHEST)
+
     def palm_positions(q, qd):
         fd = forward_kinematics(model, q, qd)
         return jnp.stack(
@@ -181,14 +193,14 @@ def make_monkey3d_stepper(
         yaw = T.heading_yaw(q)
         i0 = jnp.minimum(task.next_bar, K - 1)
         i1 = jnp.minimum(task.next_bar + 1, K - 1)
-        rel0 = T.to_heading_frame(yaw, task.bar_pos[i0] - q[0:3])
-        rel1 = T.to_heading_frame(yaw, task.bar_pos[i1] - q[0:3])
+        rel0 = T.to_heading_frame(yaw, _row(task.bar_pos, i0) - q[0:3])
+        rel1 = T.to_heading_frame(yaw, _row(task.bar_pos, i1) - q[0:3])
         return jnp.concatenate([rel0, rel1])
 
     def full_obs(state: EnvState) -> jnp.ndarray:
         q, qd = state.q, state.qd
         task = state.task
-        tgt = task.bar_pos[jnp.minimum(task.next_bar, K - 1)]
+        tgt = _row(task.bar_pos, jnp.minimum(task.next_bar, K - 1))
         to_t = tgt[:2] - q[0:2]
         angle = jnp.arctan2(to_t[1], to_t[0]) - T.heading_yaw(q)
         body = T.body_obs(model, q, qd, monkey.INITIAL_Z, angle)
@@ -272,7 +284,7 @@ def make_monkey3d_stepper(
                 lambda bp, bd: jnp.linalg.norm(_closest_on_bar(bp, bd, p) - p)
             )(task.bar_pos, task.bar_dir)
             near = jnp.argmin(d)
-            can_grab = d[near] < monkey.GRAB_RADIUS
+            can_grab = jnp.min(d) < monkey.GRAB_RADIUS
             want_grab = grab_sig[h] > 0.0
             want_release = grab_sig[h] < -0.0
             new_attach = (~(attached > 0.5)) & want_grab & can_grab
@@ -282,7 +294,8 @@ def make_monkey3d_stepper(
             )
             anchor2 = jnp.where(
                 new_attach,
-                _closest_on_bar(task.bar_pos[near], task.bar_dir[near], p),
+                _closest_on_bar(_row(task.bar_pos, near),
+                                _row(task.bar_dir, near), p),
                 anchor,
             )
             hold2 = jnp.where(
@@ -314,7 +327,7 @@ def make_monkey3d_stepper(
             hit, jnp.minimum(task.next_bar + 1, K - 1), task.next_bar
         )
 
-        new_tgt = task.bar_pos[jnp.minimum(next_bar, K - 1)]
+        new_tgt = _row(task.bar_pos, jnp.minimum(next_bar, K - 1))
         dist = jnp.linalg.norm(new_tgt - q[0:3])
         potential = -dist / config.control_dt
         progress = jnp.where(

@@ -125,27 +125,36 @@ def make_walker3d_stepper(
     # keep round-3 checkpoints compatible.
     obs_dim = 8 + 2 * model.nj + len(model.foot_links) + 6 + (4 if orient_obs else 0)
 
+    def _row(arr, idx):
+        """arr[idx] via a one-hot contraction: a vmapped row gather
+        scalarizes on TPU (the round-3a culling lesson), a (K,)·(K,D) dot
+        rides the VPU/MXU and is EXACT at HIGHEST precision."""
+        onehot = (jnp.arange(K) == idx).astype(arr.dtype)
+        return jax.lax.dot(onehot, arr,
+                           precision=jax.lax.Precision.HIGHEST)
+
     def targets_obs(q, task: StepperTaskState) -> jnp.ndarray:
         """Next-two stone targets relative to the root, heading frame (B4)."""
         yaw = T.heading_yaw(q)
         idx0 = jnp.minimum(task.next_step, K - 1)
         idx1 = jnp.minimum(task.next_step + 1, K - 1)
-        rel0 = T.to_heading_frame(yaw, task.stone_top[idx0] - q[0:3])
-        rel1 = T.to_heading_frame(yaw, task.stone_top[idx1] - q[0:3])
+        rel0 = T.to_heading_frame(yaw, _row(task.stone_top, idx0) - q[0:3])
+        rel1 = T.to_heading_frame(yaw, _row(task.stone_top, idx1) - q[0:3])
         parts = [rel0, rel1]
         if orient_obs:
             from mocca_envs_tpu.core import quat as quat_ops
 
             up = jnp.array([0.0, 0.0, 1.0])
-            n0 = quat_ops.rotate(task.stone_quat[idx0], up)
-            n1 = quat_ops.rotate(task.stone_quat[idx1], up)
+            n0 = quat_ops.rotate(_row(task.stone_quat, idx0), up)
+            n1 = quat_ops.rotate(_row(task.stone_quat, idx1), up)
             parts.append(T.to_heading_frame(yaw, n0)[0:2])
             parts.append(T.to_heading_frame(yaw, n1)[0:2])
         return jnp.concatenate(parts)
 
     def full_obs(state: EnvState, foot_contact) -> jnp.ndarray:
         q, qd = state.q, state.qd
-        tgt = state.task.stone_top[jnp.minimum(state.task.next_step, K - 1)]
+        tgt = _row(state.task.stone_top,
+                   jnp.minimum(state.task.next_step, K - 1))
         to_t = tgt[:2] - q[0:2]
         angle = jnp.arctan2(to_t[1], to_t[0]) - T.heading_yaw(q)
         body = T.body_obs(model, q, qd, initial_z, angle)
@@ -216,15 +225,18 @@ def make_walker3d_stepper(
         task = state.task
 
         idx = jnp.minimum(task.next_step, K - 1)
-        tgt = task.stone_top[idx]
+        tgt = _row(task.stone_top, idx)
 
         # ---- step-advance state machine (B7)
         fd = forward_kinematics(model, q, qd)
         swing = jnp.mod(task.next_step, 2)  # feet alternate [K-med]
         foot_pos = jnp.stack([fd.pos[l] for l in foot_link_idx])  # (2, 3)
         foot_contact = info.foot_contact[: len(foot_link_idx)]
-        swing_pos = foot_pos[swing]
-        swing_touch = foot_contact[swing] > 0.5
+        # branchless 2-way select (a vmapped dynamic index scalarizes)
+        swing_pos = jnp.where(swing == 0, foot_pos[0], foot_pos[1])
+        swing_touch = jnp.where(
+            swing == 0, foot_contact[0], foot_contact[1]
+        ) > 0.5
         close = (
             jnp.linalg.norm(swing_pos[:2] - tgt[:2]) < params.step_radius
         ) & (jnp.abs(swing_pos[2] - tgt[2]) < 0.25)
@@ -234,7 +246,7 @@ def make_walker3d_stepper(
         next_step = jnp.where(hit, jnp.minimum(task.next_step + 1, K - 1), task.next_step)
 
         # ---- reward (progress toward current target + stone bonuses)
-        new_tgt = task.stone_top[jnp.minimum(next_step, K - 1)]
+        new_tgt = _row(task.stone_top, jnp.minimum(next_step, K - 1))
         dist = jnp.linalg.norm(new_tgt[:2] - q[0:2])
         potential = -dist / config.control_dt
         # on a hit the potential basis changes; gate progress to same-target steps

@@ -40,10 +40,17 @@ def _limit_backstop(model: RobotModel, joints, qd_j):
     return clamped, qd_out
 
 
-def integrate(model: RobotModel, q: jnp.ndarray, qd_new: jnp.ndarray, dt: float):
+def integrate(model: RobotModel, q: jnp.ndarray, qd_new: jnp.ndarray, dt: float,
+              qd_pos: jnp.ndarray | None = None):
     """Advance positions with already-updated velocities, then apply the
     joint-limit backstop (see ``_limit_backstop`` — the real limit handling
     is constraint rows in the solver).
+
+    ``qd_pos`` (nv,) is the split-impulse pseudo-velocity
+    (EngineConfig.split_impulse): it is ADDED for the position advance only
+    and never appears in the returned velocity — Bullet's
+    m_pushVelocity/m_turnVelocity channel. The limit backstop still clamps
+    the (pseudo-advanced) position and zeroes only the REAL outward velocity.
 
     Velocities are hard-capped at ±MAX_VEL (Bullet similarly clamps), which
     turns a would-be NaN cascade from a violent contact into a recoverable
@@ -51,13 +58,14 @@ def integrate(model: RobotModel, q: jnp.ndarray, qd_new: jnp.ndarray, dt: float)
     Returns ``(q', qd')``.
     """
     qd_new = jnp.clip(qd_new, -MAX_VEL, MAX_VEL)
+    qd_int = qd_new if qd_pos is None else qd_new + qd_pos
     if not model.floating:
-        joints = q + dt * qd_new
+        joints = q + dt * qd_int
         clamped, qd_out = _limit_backstop(model, joints, qd_new)
         return clamped, qd_out
-    pos = q[0:3] + dt * qd_new[0:3]
-    quat = quat_ops.integrate(q[3:7], qd_new[3:6], dt)
-    joints = q[7:] + dt * qd_new[6:]
+    pos = q[0:3] + dt * qd_int[0:3]
+    quat = quat_ops.integrate(q[3:7], qd_int[3:6], dt)
+    joints = q[7:] + dt * qd_int[6:]
     clamped, qd_j = _limit_backstop(model, joints, qd_new[6:])
     return (
         jnp.concatenate([pos, quat, clamped]),

@@ -291,6 +291,7 @@ def make_pallas_substep(
     block_pgs = bool(config.block_pgs)
     matfree = bool(config.matfree_pgs)
     warm = bool(config.warm_start)
+    split = bool(config.split_impulse)
     gx, gy, gz_acc = (float(g) for g in config.gravity)
 
     # ---- host-side constants from the model. NOTE: convert whole arrays to
@@ -884,6 +885,12 @@ def make_pallas_substep(
 
             # joint-limit rows: unilateral toward the nearer bound, mirroring
             # ops/step.py (row layout [equality | limits | contacts])
+            # split_impulse: push-out bias per row, kept OUT of the velocity
+            # targets and solved separately in the position pass below.
+            # Python-0.0 for rows the position pass never visits
+            # (equality, friction) — the visit list is static.
+            bias_rows = [0.0] * len(targets)
+
             for j in lim_idx:
                 d_lo = qj[j] - float(lim_lo[j])
                 d_hi = float(lim_hi[j]) - qj[j]
@@ -893,10 +900,13 @@ def make_pallas_substep(
                 row[6 + j] = sgn
                 Jrows.append(row)
                 viol = -gap
-                targets.append(
-                    jnp.minimum(beta_dt * jnp.maximum(viol - lim_slop, 0.0), maxpush)
-                    - jnp.maximum(-viol, 0.0) / dt
+                b_l = jnp.minimum(
+                    beta_dt * jnp.maximum(viol - lim_slop, 0.0), maxpush
                 )
+                targets.append(
+                    (0.0 if split else b_l) - jnp.maximum(-viol, 0.0) / dt
+                )
+                bias_rows.append(b_l)
                 act_rows.append((gap < lim_margin).astype(jnp.float32))
                 mu_rows.append(0.0)
 
@@ -906,9 +916,13 @@ def make_pallas_substep(
                 Jrows.append([dot3(normal[s], cols[c]) for c in range(nv)])
                 Jrows.append([dot3(t1, cols[c]) for c in range(nv)])
                 Jrows.append([dot3(t2, cols[c]) for c in range(nv)])
-                push = jnp.minimum(beta_dt * jnp.maximum(depth[s] - slop, 0.0), maxpush) \
+                b_n = jnp.minimum(
+                    beta_dt * jnp.maximum(depth[s] - slop, 0.0), maxpush
+                )
+                push = (0.0 if split else b_n) \
                     - jnp.maximum(-depth[s], 0.0) / dt
                 targets += [push, 0.0, 0.0]
+                bias_rows += [b_n, 0.0, 0.0]
                 act_rows += [active[s]] * 3
                 mu_rows += [fric] * 3
 
@@ -1049,6 +1063,42 @@ def make_pallas_substep(
                 # z IS W·λ — the velocity update's contraction comes free
                 u = list(z_t)
                 dv = bwd_subst(u)
+
+                dvp = None
+                if split:
+                    # position pass (split impulse): pseudo-impulses against
+                    # the push-out bias alone, visiting ONLY the unilateral
+                    # rows (limits + contact normals) — the static visit
+                    # list keeps the sweep at ~(nlim+ns)/nr of the velocity
+                    # sweep's cost. Residual at λ=0 is −bias; z carries W·λ.
+                    pos_rows = list(range(ne, ne + nlim)) + [
+                        ne + nlim + 3 * s for s in range(ns)
+                    ]
+
+                    def sweep_pos(_, carry):
+                        lam_t2, z_t2 = carry
+                        lamp = list(lam_t2)
+                        zp = list(z_t2)
+                        for k2, r in enumerate(pos_rows):
+                            s2 = cfm * lamp[k2] - bias_rows[r]
+                            for i2 in range(nv):
+                                s2 = madd(s2, Wrow[r][i2], zp[i2])
+                            new = jnp.maximum(
+                                0.0, lamp[k2] - s2 / diag[r]
+                            ) * act_rows[r]
+                            d = new - lamp[k2]
+                            lamp[k2] = new
+                            for i2 in range(nv):
+                                if not _z(Wrow[r][i2]):
+                                    zp[i2] = zp[i2] + Wrow[r][i2] * d
+                        return tuple(lamp), tuple(zp)
+
+                    zt_p = jnp.zeros(SUB, dtype=jnp.float32)
+                    _, z_pt = jax.lax.fori_loop(
+                        0, iters, sweep_pos,
+                        ((zt_p,) * len(pos_rows), (zt_p,) * nv),
+                    )
+                    dvp = bwd_subst(list(z_pt))
             else:
                 # the A-form path wants W dense: materialize the per-row
                 # build as nv stacked (nr, 8, 128) blocks
@@ -1140,13 +1190,50 @@ def make_pallas_substep(
                 # ---------------- velocity update: qd' = v_free + L⁻ᵀ(Wλ)
                 u = [jnp.sum(W[i2] * lam, axis=0) for i2 in range(nv)]
                 dv = bwd_subst(u)
+
+                dvp = None
+                if split:
+                    # position pass, A-form: reuse A/diag/onehot; residual
+                    # starts at −bias, unilateral rows only (see matfree
+                    # branch for the rationale)
+                    pos_rows = list(range(ne, ne + nlim)) + [
+                        ne + nlim + 3 * s for s in range(ns)
+                    ]
+                    residp0 = jnp.stack([
+                        jnp.zeros(SUB, jnp.float32) if _isf(bias_rows[r])
+                        else -bias_rows[r]
+                        for r in range(nr)
+                    ])
+
+                    def sweep_p(_, carry):
+                        lamp, residp = carry
+                        for r in pos_rows:
+                            new = jnp.maximum(
+                                0.0, lamp[r] - residp[r] / diag[r]
+                            ) * act_rows[r]
+                            d = new - lamp[r]
+                            lamp = lamp + onehot[r] * d[None]
+                            residp = residp + A[:, r] * d[None]
+                        return lamp, residp
+
+                    lamp, _ = jax.lax.fori_loop(
+                        0, iters, sweep_p,
+                        (jnp.zeros((nr,) + SUB, jnp.float32), residp0),
+                    )
+                    up = [jnp.sum(W[i2] * lamp, axis=0) for i2 in range(nv)]
+                    dvp = bwd_subst(up)
             # velocity hard cap — must mirror ops/integrate.MAX_VEL
             qd_n = [jnp.clip(add(v_free[i2], dv[i2]), -100.0, 100.0) for i2 in range(nv)]
+            # split-impulse pseudo-velocity: advances POSITIONS only below,
+            # never enters qd_out (ops/integrate.integrate qd_pos channel)
+            qd_i = qd_n if dvp is None else [
+                add(qd_n[i2], dvp[i2]) for i2 in range(nv)
+            ]
 
             # ---------------- integrate + joint limits
-            bp_n = [add(bp[k], mul(dt, qd_n[k])) for k in range(3)]
+            bp_n = [add(bp[k], mul(dt, qd_i[k])) for k in range(3)]
             wmag = 0.5 * dt
-            hx, hy, hz = mul(qd_n[3], wmag), mul(qd_n[4], wmag), mul(qd_n[5], wmag)
+            hx, hy, hz = mul(qd_i[3], wmag), mul(qd_i[4], wmag), mul(qd_i[5], wmag)
             theta = jnp.sqrt(hx * hx + hy * hy + hz * hz + 1e-24)
             sc = jnp.sin(theta) / theta
             dq = (jnp.cos(theta), hx * sc, hy * sc, hz * sc)
@@ -1161,7 +1248,7 @@ def make_pallas_substep(
             qj_n = []
             qdj_n = []
             for j in range(nj):
-                raw = add(qj[j], mul(dt, qd_n[6 + j]))
+                raw = add(qj[j], mul(dt, qd_i[6 + j]))
                 lo_b = float(lim_lo[j]) - lim_slop
                 hi_b = float(lim_hi[j]) + lim_slop
                 cl = jnp.clip(raw, lo_b, hi_b)

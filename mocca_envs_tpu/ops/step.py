@@ -242,6 +242,7 @@ def make_substep(
         # joint-limit rows: unilateral, signed toward the nearer bound.
         # Solver rows (not projection clamps) so limit impulses exchange
         # momentum with the whole tree — see ops/solver.py module docstring.
+        bias_l = None
         if nlim:
             li = jnp.asarray(lim_idx, dtype=jnp.int32)
             d_lo = qj[li] - model.limit_lo[li]
@@ -252,10 +253,15 @@ def make_substep(
             Jl = jnp.zeros((nlim, model.nv), dtype=q.dtype)
             Jl = Jl.at[jnp.arange(nlim), base_off + li].set(sgn)
             viol = -gap
-            push_l = jnp.minimum(
+            bias_l = jnp.minimum(
                 (config.baumgarte / dt) * jnp.maximum(viol - LIMIT_SLOP, 0.0),
                 config.max_push_vel,
-            ) - jnp.maximum(-viol, 0.0) / dt
+            )
+            push_l = bias_l - jnp.maximum(-viol, 0.0) / dt
+            if config.split_impulse:
+                # push-out moves to the position pass (pseudo-impulses);
+                # the velocity solve only forbids further approach
+                push_l = push_l - bias_l
             rows_J.append(Jl)
             rows_tgt.append(push_l)
             rows_act.append((gap < config.limit_margin).astype(q.dtype))
@@ -271,10 +277,13 @@ def make_substep(
         # Penetrating: Baumgarte push-out (capped). Separated-but-within-margin
         # rows must still permit approach up to closing the gap this substep —
         # otherwise contacts act at a distance and bodies hover at the margin.
-        push = jnp.minimum(
+        bias_n = jnp.minimum(
             (config.baumgarte / dt) * jnp.maximum(contacts.depth - config.slop, 0.0),
             config.max_push_vel,
-        ) - jnp.maximum(-contacts.depth, 0.0) / dt
+        )
+        push = bias_n - jnp.maximum(-contacts.depth, 0.0) / dt
+        if config.split_impulse:
+            push = push - bias_n
         Jcon = jnp.stack([Jn, Jt1, Jt2], axis=1).reshape(3 * ns, -1)
         tgt_con = jnp.stack(
             [push, jnp.zeros_like(push), jnp.zeros_like(push)], axis=1
@@ -295,7 +304,29 @@ def make_substep(
         )
 
         qd_new = v_free + MinvJT @ lam
-        q_new, qd_new = integrate(model, q, qd_new, dt)
+
+        qd_pos = None
+        if config.split_impulse:
+            # position pass (Bullet split impulse): pseudo-impulses against
+            # the push-out bias alone, over the unilateral rows only
+            # (limits + contact normals — friction and equality masked).
+            # Pseudo-velocities start at zero, so the residual at λ=0 is
+            # −bias; the solve reuses A and MinvJT.
+            bias = jnp.zeros_like(c)
+            if nlim:
+                bias = bias.at[ne:ne + nlim].set(bias_l)
+            n_rows = ne + nlim + 3 * jnp.arange(ns)
+            bias = bias.at[n_rows].set(bias_n)
+            act_pos = jnp.zeros_like(active).at[ne:].set(active[ne:])
+            # friction rows stay in the solve but with μ=0 their box bound
+            # is [0,0] — they contribute nothing
+            lam_pos = pgs_solve(
+                A, -bias, act_pos, jnp.zeros((ns,), dtype=q.dtype), ne, ns,
+                config.solver_iters, nlim=nlim, block=False,
+            )
+            qd_pos = MinvJT @ lam_pos
+
+        q_new, qd_new = integrate(model, q, qd_new, dt, qd_pos=qd_pos)
 
         normal_impulse = lam[ne + nlim:].reshape(ns, 3)[:, 0]
         info = StepInfo(

@@ -83,6 +83,22 @@ class EngineConfig:
     # gates at half the sweeps (w4 2.75M vs default 2.43M alone; 4.60M in
     # the shipped mf_w4_rf combination — BENCH.md round-2i matrix).
     warm_start: bool = True
+    # Split-impulse position correction (Bullet: btContactSolverInfo
+    # .m_splitImpulse / pybullet setPhysicsEngineParameter(useSplitImpulse)).
+    # With it OFF, penetration push-out rides the velocity solve as a
+    # Baumgarte bias (capped at max_push_vel) — every limb slam converts
+    # position error into REAL kinetic energy, which is the measured z-drift
+    # pump of long random-torque rollouts (scripts/diag_pump.py: walker
+    # z̄→8.8 m @ ~3000 steps; BENCH.md round-2 "known wart"). With it ON, the
+    # velocity solve sees only the non-penetration target (stop approaching,
+    # no push-out) and a SECOND solve over the unilateral rows (limits +
+    # contact normals; friction and equality rows masked) computes
+    # pseudo-impulses from the position error alone. The resulting
+    # pseudo-velocity advances POSITIONS only and is discarded — depth decays
+    # at the same ERP rate with zero momentum injected. Both engine paths
+    # (ops/step.py oracle, fused kernel) apply it identically; the kernel's
+    # second sweep visits only the ~(nlim+ns) unilateral rows.
+    split_impulse: bool = False
     limit_margin: float = 0.15      # joint-limit rows activate within [rad|m]
     # Stone-culling fast path (SURVEY.md §7.3 hard part #1 / VERDICT r2 #6):
     # narrowphase only the ``stone_window`` stones nearest the robot root

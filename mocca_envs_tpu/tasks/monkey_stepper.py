@@ -74,6 +74,14 @@ class MonkeyParams(struct.PyTreeNode):
         default_factory=lambda: jnp.asarray(10_000, jnp.int32)
     )
     w_swing: jnp.ndarray = struct.field(default_factory=lambda: jnp.asarray(0.0))
+    # No-progress TERMINATION (stronger than hold_grace, which only stops
+    # the alive bonus): end the episode ``progress_timeout`` control steps
+    # after the last bar hit. Hanging then isn't just unpaid — the value
+    # function sees it as episode death, so bootstrapped returns can't fund
+    # it either. Big default = off (preserves existing checkpoints' MDP).
+    progress_timeout: jnp.ndarray = struct.field(
+        default_factory=lambda: jnp.asarray(1_000_000, jnp.int32)
+    )
 
     def set_curriculum(self, stage) -> "MonkeyParams":
         return self.replace(stage=jnp.asarray(stage, jnp.float32))
@@ -359,7 +367,8 @@ def make_monkey3d_stepper(
         )
 
         steps = state.steps + 1
-        done = fell | success | (steps >= params.max_steps)
+        stalled = since_hit >= params.progress_timeout
+        done = fell | success | (steps >= params.max_steps) | stalled
         new_state = state.replace(
             q=q, qd=qd, steps=steps,
             task=MonkeyTaskState(

@@ -196,3 +196,29 @@ def test_release_timing_shaping_gates_alive_bonus():
     # (progress differs too — both push the same direction, so the gap is
     # strictly positive and large)
     assert r_fwd - r_bwd > 1.0, (r_fwd, r_bwd)
+
+
+def test_progress_timeout_terminates_hanging():
+    """progress_timeout: an episode with no new bar hit for N control steps
+    ENDS (round-3 no-progress termination — default-off). Hanging then
+    cannot be funded by bootstrapped value either, unlike hold_grace which
+    only gates the alive bonus."""
+    from mocca_envs_tpu.tasks.monkey_stepper import MonkeyParams, make_monkey3d_stepper
+
+    env2 = make_monkey3d_stepper(
+        params=MonkeyParams().replace(
+            progress_timeout=jnp.asarray(4, jnp.int32),
+        ),
+        name="MonkeyTimeout",
+    )
+    s = env2.init(jax.random.key(0))
+    step = jax.jit(env2.step_no_reset)
+    a = jnp.zeros(env2.act_dim).at[-2].set(1.0)  # hold, no torque
+    dones = []
+    for _ in range(6):
+        tr = step(s, a)
+        s = tr.state
+        dones.append(bool(tr.done))
+    # no hit happens while passively hanging → done fires at since_hit == 4
+    assert dones[:3] == [False, False, False], dones
+    assert dones[3], dones

@@ -34,7 +34,11 @@ if backend != "tpu":
 def deadline_for(script):
     now = time.time()
     if script.endswith("3f_split.py"):
-        return min(now + 55 * 60, GLOBAL_END - 1.3 * 3600)
+        return min(now + 55 * 60, GLOBAL_END - 3.5 * 3600)
+    if script.endswith("3g_highstage.py"):
+        return min(now + 85 * 60, GLOBAL_END - 2.6 * 3600)
+    if script.endswith("3h_monkey3.py"):
+        return min(now + 50 * 60, GLOBAL_END - 1.9 * 3600)
     return GLOBAL_END
 
 
@@ -57,7 +61,9 @@ def finished(script):
 
 
 for script in ("scripts/tpu_round3f_split.py",
-               "scripts/tpu_round3g_highstage.py"):
+               "scripts/tpu_round3g_highstage.py",
+               "scripts/tpu_round3h_monkey3.py",
+               "scripts/tpu_round3i_seed2.py"):
     if finished(script):
         print(f"QUEUE4: {script} already finished — skipping", flush=True)
         continue

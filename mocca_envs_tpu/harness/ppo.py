@@ -89,6 +89,18 @@ class PPOConfig:
     # reward). State (per-env return accumulator + running var) lives in
     # TrainState only when enabled, so old checkpoints restore unchanged.
     normalize_reward: bool = False
+    # Minibatch shuffle mode. "full": per-epoch uniform permutation of all
+    # horizon·num_envs samples — statistically exact, but on TPU the
+    # ``x[perm]`` gather fetches ~obs_dim floats per sample (the same
+    # scalarizing-gather pathology as the stone cull, see ROADMAP perf
+    # notes) and at 128×4096 samples it re-reads the whole rollout buffer
+    # at gather speed 4× per update. "time": permute only the horizon axis
+    # (128 CONTIGUOUS rows of num_envs·dim — a pure-bandwidth gather) so a
+    # minibatch is (horizon/num_minibatches) random timesteps × ALL envs;
+    # with thousands of INDEPENDENT envs per shard the within-minibatch
+    # correlation this introduces is only the weak across-env same-t
+    # coupling. Keyed per epoch either way.
+    shuffle_mode: str = "full"
 
 
 class RunningNorm(struct.PyTreeNode):
@@ -231,6 +243,15 @@ class PPOLearner:
             num_envs = env.num_envs
         if num_envs % (config.num_minibatches) != 0:
             raise ValueError("num_envs must divide into minibatches")
+        if config.shuffle_mode not in ("full", "time"):
+            raise ValueError(f"unknown shuffle_mode {config.shuffle_mode!r}")
+        if (config.shuffle_mode == "time"
+                and config.horizon % config.num_minibatches != 0):
+            raise ValueError(
+                "shuffle_mode='time' slices minibatches along the horizon — "
+                f"horizon {config.horizon} must divide into "
+                f"{config.num_minibatches} minibatches"
+            )
         if mesh is not None and num_envs % (mesh.size * config.num_minibatches) != 0:
             raise ValueError(
                 "num_envs must divide over devices × minibatches"
@@ -447,8 +468,20 @@ class PPOLearner:
 
             def epoch(carry, ek):
                 params, opt_state = carry
-                perm = jax.random.permutation(ek, n)
-                shuffled = jax.tree.map(lambda x: x[perm], flat)
+                if cfg.shuffle_mode == "time":
+                    # contiguous-row gather (see PPOConfig.shuffle_mode):
+                    # permute the horizon axis only; a minibatch below is
+                    # then (horizon/num_minibatches) timesteps × all envs
+                    permT = jax.random.permutation(ek, cfg.horizon)
+                    shuffled = jax.tree.map(
+                        lambda x: x.reshape(
+                            (cfg.horizon, local_envs) + x.shape[1:]
+                        )[permT].reshape(x.shape),
+                        flat,
+                    )
+                else:
+                    perm = jax.random.permutation(ek, n)
+                    shuffled = jax.tree.map(lambda x: x[perm], flat)
 
                 def minibatch(carry, mb_idx):
                     params, opt_state = carry

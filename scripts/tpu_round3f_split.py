@@ -227,4 +227,30 @@ for stage in (2, 4):
     guarded("eval_split_ft", eval_split, "/root/repo/ckpt/r3_st_v1_s1_ft",
             stage, "eval_split_ft")
 
+
+# ---------------- D: minibatch shuffle A/B (the 2.3 s/update mystery).
+# shuffle_mode="full" re-reads the whole rollout buffer through a
+# per-sample gather 4×/update; "time" permutes 128 contiguous horizon
+# rows. Same learner otherwise. 3 timed updates after 2 warmups each.
+def shuffle_ab(mode):
+    env = make_walker3d_stepper(params=STONE_SP, name=f"StepperShuf_{mode}")
+    cfg = dataclasses.replace(V1_CFG, shuffle_mode=mode)
+    learner = PPOLearner(env, cfg, num_envs=NUM_ENVS)
+    state = learner.init(seed=3)
+    for _ in range(2):
+        state, _ = learner.train_step(state)
+    jax.block_until_ready(state.params)
+    t0 = time.perf_counter()
+    for _ in range(3):
+        state, metrics = learner.train_step(state)
+    jax.block_until_ready(state.params)
+    dt = (time.perf_counter() - t0) / 3
+    emit(phase="shuffle_ab", mode=mode, s_per_update=round(dt, 4),
+         env_steps_per_s=round(NUM_ENVS * 128 / dt),
+         pg_loss=round(float(metrics["pg_loss"]), 5))
+
+
+for mode in ("full", "time"):
+    guarded("shuffle_ab", shuffle_ab, mode)
+
 emit(phase="session_done", wall_s=round(time.time() - T0, 1))

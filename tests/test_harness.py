@@ -215,6 +215,32 @@ def test_ppo_single_device_update(env):
     assert not np.allclose(p0, p1)  # the update actually moved params
 
 
+def test_ppo_time_shuffle_mode(env):
+    """shuffle_mode='time' (contiguous-row horizon shuffle — the TPU
+    gather-free minibatcher) must train: finite metrics, params move.
+    Mis-paired horizon/minibatches must be rejected up front."""
+    cfg = PPOConfig(horizon=8, num_epochs=2, num_minibatches=2,
+                    hidden=(32, 32), shuffle_mode="time")
+    learner = PPOLearner(env, cfg, mesh=None, num_envs=16)
+    state = learner.init(seed=0)
+    p0 = jax.tree.leaves(state.params)[0].copy()
+    state, metrics = learner.train_step(state)
+    assert float(finite_fraction(state.params)) == 1.0
+    assert np.isfinite(float(metrics["pg_loss"]))
+    assert not np.allclose(p0, jax.tree.leaves(state.params)[0])
+
+    with pytest.raises(ValueError, match="horizon"):
+        PPOLearner(
+            env,
+            PPOConfig(horizon=6, num_minibatches=4, shuffle_mode="time"),
+            mesh=None, num_envs=16,
+        )
+    with pytest.raises(ValueError, match="shuffle_mode"):
+        PPOLearner(
+            env, PPOConfig(shuffle_mode="bogus"), mesh=None, num_envs=16
+        )
+
+
 @pytest.mark.slow
 def test_ppo_sharded_update_matches_devices(env):
     mesh = env_mesh()

@@ -269,6 +269,37 @@ class PPOLearner:
         self.mirror = getattr(env, "mirror", None)
         if config.mirror_coef > 0.0 and self.mirror is None:
             raise ValueError(f"{env.name} has no mirror spec for mirror_coef")
+        # Mirror maps as signed one-hot MATRICES (m_x = x @ A), not index
+        # gathers. ``x[:, perm] * sign`` differentiates through a gather
+        # whose backward is a TPU scatter-add, and both directions fall off
+        # the vector units (the repo-wide no-gather rule, ROADMAP perf
+        # notes); as a (d, d) one-hot matmul at HIGHEST precision the op is
+        # exact (rows are ±1·one value) and rides the MXU both ways.
+        self._mir_mats = None
+        if config.mirror_coef > 0.0:
+            import numpy as np
+
+            def _mat(perm, sign):
+                d = len(perm)
+                A = np.zeros((d, d), np.float32)
+                A[np.asarray(perm), np.arange(d)] = np.asarray(
+                    sign, np.float32
+                )
+                return jnp.asarray(A)
+
+            m = self.mirror
+            if m.get("family"):
+                self._mir_mats = {
+                    "obs": [_mat(p, s) for p, s in
+                            zip(m["obs_perms"], m["obs_signs"])],
+                    "act": [_mat(p, s) for p, s in
+                            zip(m["act_perms"], m["act_signs"])],
+                }
+            else:
+                self._mir_mats = {
+                    "obs": _mat(m["obs_perm"], m["obs_sign"]),
+                    "act": _mat(m["act_perm"], m["act_sign"]),
+                }
         self.net = ActorCritic(env.act_dim, config.hidden)
         if (config.lr_final is not None) != (config.lr_anneal_updates > 0):
             raise ValueError(
@@ -390,6 +421,7 @@ class PPOLearner:
                 # applied to mirrored obs with UNmirrored stats — the stats
                 # symmetrize as the gait does, and the loss needs only
                 # consistency, not exactness.
+                hp = jax.lax.Precision.HIGHEST
                 if m.get("family"):
                     # MixedSuite: per-family maps, selected per ROW via the
                     # one-hot family tag in the obs tail (harness/mixed).
@@ -399,18 +431,22 @@ class PPOLearner:
                     Kf = int(m["num_families"])
                     tag = obs[:, -Kf:]
                     m_obs_f = jnp.stack(
-                        [obs[:, m["obs_perms"][f]] * m["obs_signs"][f]
+                        [jnp.matmul(obs, self._mir_mats["obs"][f],
+                                    precision=hp)
                          for f in range(Kf)]
                     )                                       # (K, mb, obs)
                     m_obs = jnp.einsum("bf,fbd->bd", tag, m_obs_f)
                     tgt_f = jnp.stack(
-                        [mean[:, m["act_perms"][f]] * m["act_signs"][f]
+                        [jnp.matmul(mean, self._mir_mats["act"][f],
+                                    precision=hp)
                          for f in range(Kf)]
                     )
                     tgt_mean = jnp.einsum("bf,fbd->bd", tag, tgt_f)
                 else:
-                    m_obs = obs[:, m["obs_perm"]] * m["obs_sign"]
-                    tgt_mean = mean[:, m["act_perm"]] * m["act_sign"]
+                    m_obs = jnp.matmul(obs, self._mir_mats["obs"],
+                                       precision=hp)
+                    tgt_mean = jnp.matmul(mean, self._mir_mats["act"],
+                                          precision=hp)
                 m_mean, _, _ = net.apply(params, _maybe_norm(norm, m_obs))
                 msl = jnp.mean(jnp.square(m_mean - tgt_mean))
                 loss = loss + cfg.mirror_coef * msl

@@ -232,9 +232,9 @@ for stage in (2, 4):
 # shuffle_mode="full" re-reads the whole rollout buffer through a
 # per-sample gather 4×/update; "time" permutes 128 contiguous horizon
 # rows. Same learner otherwise. 3 timed updates after 2 warmups each.
-def shuffle_ab(mode):
+def shuffle_ab(mode, mirror=4.0):
     env = make_walker3d_stepper(params=STONE_SP, name=f"StepperShuf_{mode}")
-    cfg = dataclasses.replace(V1_CFG, shuffle_mode=mode)
+    cfg = dataclasses.replace(V1_CFG, shuffle_mode=mode, mirror_coef=mirror)
     learner = PPOLearner(env, cfg, num_envs=NUM_ENVS)
     state = learner.init(seed=3)
     for _ in range(2):
@@ -245,12 +245,18 @@ def shuffle_ab(mode):
         state, metrics = learner.train_step(state)
     jax.block_until_ready(state.params)
     dt = (time.perf_counter() - t0) / 3
-    emit(phase="shuffle_ab", mode=mode, s_per_update=round(dt, 4),
+    emit(phase="shuffle_ab", mode=mode, mirror=mirror,
+         s_per_update=round(dt, 4),
          env_steps_per_s=round(NUM_ENVS * 128 / dt),
          pg_loss=round(float(metrics["pg_loss"]), 5))
 
 
-for mode in ("full", "time"):
-    guarded("shuffle_ab", shuffle_ab, mode)
+# three rows decompose the 2.3 s/update (with the NEW matrix-mirror code;
+# 3d's toggles measured the OLD gather-mirror from the queue-3 process):
+# full+mirror (the shipped recipe), full−mirror (mirror cost, matrix
+# form), time+mirror (shuffle-gather cost)
+guarded("shuffle_ab", shuffle_ab, "full")
+guarded("shuffle_ab", shuffle_ab, "full", mirror=0.0)
+guarded("shuffle_ab", shuffle_ab, "time")
 
 emit(phase="session_done", wall_s=round(time.time() - T0, 1))

@@ -215,6 +215,26 @@ def test_ppo_single_device_update(env):
     assert not np.allclose(p0, p1)  # the update actually moved params
 
 
+def test_mirror_matrix_equals_gather(env):
+    """The signed one-hot mirror MATRICES (MXU form) must reproduce the
+    index-gather semantics ``x[:, perm] * sign`` EXACTLY — selection by
+    ±1 one-hot rows is lossless at HIGHEST precision."""
+    cfg = PPOConfig(horizon=4, num_epochs=1, num_minibatches=1,
+                    hidden=(16, 16), mirror_coef=1.0)
+    learner = PPOLearner(env, cfg, mesh=None, num_envs=8)
+    m = learner.mirror
+    x = jax.random.normal(jax.random.key(3), (32, len(m["obs_perm"])))
+    a = jax.random.normal(jax.random.key(4), (32, len(m["act_perm"])))
+    ref_o = np.asarray(x)[:, np.asarray(m["obs_perm"])] * np.asarray(m["obs_sign"])
+    ref_a = np.asarray(a)[:, np.asarray(m["act_perm"])] * np.asarray(m["act_sign"])
+    got_o = jnp.matmul(x, learner._mir_mats["obs"],
+                       precision=jax.lax.Precision.HIGHEST)
+    got_a = jnp.matmul(a, learner._mir_mats["act"],
+                       precision=jax.lax.Precision.HIGHEST)
+    np.testing.assert_array_equal(np.asarray(got_o), ref_o)
+    np.testing.assert_array_equal(np.asarray(got_a), ref_a)
+
+
 def test_ppo_time_shuffle_mode(env):
     """shuffle_mode='time' (contiguous-row horizon shuffle — the TPU
     gather-free minibatcher) must train: finite metrics, params move.

@@ -79,6 +79,13 @@ def parse_args(argv=None):
                    "return before GAE (subsumes hand-tuned --reward-scale)")
     # multi-host (BASELINE config 5: N≥2 hosts feed one PPO learner).
     # With no flags and a TPU-pod environment, jax.distributed autodetects.
+    p.add_argument("--shuffle-mode", default="full", choices=("full", "time"),
+                   help="PPO minibatch shuffle: 'full' exact per-sample "
+                        "permutation, 'time' horizon-axis only (gather-free "
+                        "on TPU; see PPOConfig.shuffle_mode)")
+    p.add_argument("--split-impulse", action="store_true",
+                   help="split-impulse position correction in the engine "
+                        "(Bullet m_splitImpulse; EngineConfig.split_impulse)")
     p.add_argument("--multihost", action="store_true",
                    help="initialize jax.distributed before building the mesh")
     p.add_argument("--coordinator", default=None,
@@ -147,7 +154,24 @@ def main(argv=None):
     from mocca_envs_tpu.harness.ppo import PPOConfig, PPOLearner
     from mocca_envs_tpu.parallel.mesh import env_mesh
 
+    def _split_cfg(env_id):
+        # each family keeps its OWN timing defaults; only the flag flips
+        import dataclasses as _dc0
+
+        from mocca_envs_tpu.utils.config import EngineConfig
+
+        if env_id.startswith("Cassie"):
+            from mocca_envs_tpu.tasks.cassie_task import CASSIE_CONFIG
+
+            return _dc0.replace(CASSIE_CONFIG, split_impulse=True)
+        return _dc0.replace(EngineConfig(), split_impulse=True)
+
     if "," in args.env:
+        if args.split_impulse:
+            raise SystemExit(
+                "--split-impulse is not wired for mixed suites yet; "
+                "run the families separately"
+            )
         from mocca_envs_tpu.harness.mixed import MixedSuite
 
         ids = tuple(s.strip() for s in args.env.split(","))
@@ -155,7 +179,8 @@ def main(argv=None):
         env = MixedSuite(ids, (per,) * len(ids))
         args.num_envs = env.num_envs
     else:
-        env = mocca_envs_tpu.make(args.env)
+        env = (mocca_envs_tpu.make(args.env, config=_split_cfg(args.env))
+               if args.split_impulse else mocca_envs_tpu.make(args.env))
     mesh = None
     if not args.no_mesh and len(jax.devices()) > 1:
         mesh = env_mesh()
@@ -175,6 +200,7 @@ def main(argv=None):
         lr_final=args.lr_final,
         lr_anneal_updates=args.lr_anneal,
         normalize_reward=args.normalize_reward,
+        shuffle_mode=args.shuffle_mode,
     )
     learner = PPOLearner(env, cfg, mesh=mesh, num_envs=args.num_envs)
     state = learner.init(seed=args.seed)

@@ -102,6 +102,15 @@ class GymEnv:
             from mocca_envs_tpu.ops.kinematics import forward_kinematics
 
             fd = forward_kinematics(model, s.q, s.qd)
+            # kinematic skeleton: parent→child link segments (through the
+            # joint origins) make small-sphere models (monkey) legible
+            pos = np.asarray(fd.pos)
+            for l in range(1, model.nl):
+                p = int(model.parent[l])
+                if p >= 0:
+                    ax.plot([pos[p, 0], pos[l, 0]], [pos[p, 2], pos[l, 2]],
+                            color="tab:blue", lw=2.0, alpha=0.8,
+                            solid_capstyle="round")
             centers = np.asarray(sphere_centers(model, fd))
             radii = np.asarray(model.sph_radius)
             for c, r in zip(centers, radii):

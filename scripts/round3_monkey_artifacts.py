@@ -103,7 +103,7 @@ def main(argv=None):
     g = GymEnv(env)
     g._state = s
     sel = np.linspace(0, len(qs) - 1, args.frames).astype(int)
-    fig, axes = plt.subplots(1, len(sel), figsize=(3 * len(sel), 3), dpi=80)
+    fig, axes = plt.subplots(1, len(sel), figsize=(4 * len(sel), 4), dpi=140)
     for ax_, t in zip(axes, sel):
         g._state = g._state.replace(q=jnp.asarray(qs[t]))
         frame = g.render("rgb_array", model=env.model)

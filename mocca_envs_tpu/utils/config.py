@@ -105,13 +105,15 @@ class EngineConfig:
     # (xy center distance minus the stone's bounding radius; 0 = off). The
     # window is re-selected once per CONTROL step via top_k — dynamic data,
     # static shapes — so the fused kernel compiles for K=window boxes
-    # instead of the scene's full set (stepper: 20 → 8, ~2.5× fewer box
+    # instead of the scene's full set (stepper: 20 → 6, ~3.3× fewer box
     # tests/substep). Exact whenever every stone within contact margin of
     # any collision sphere ranks inside the window — guaranteed for paths
     # sampled by terrain/stones.py since ≤3 stones can be near touch range
-    # at once; 8 leaves ~2.6× headroom over that (tests/test_stepper.py
-    # culling gate).
-    stone_window: int = 8
+    # at once; 6 leaves 2× headroom over that (tests/test_stepper.py
+    # culling gate). Default 6 from the round-3d hardware sweep with the
+    # one-hot select (window {0,6,8,12} → {4.92, 6.47, 6.06, 5.05} M
+    # env-steps/s — the first, gather-based cull LOST 38%, see BENCH.md).
+    stone_window: int = 6
     # Same windowing for static triangle-mesh scenes (scene.tri_*): the
     # fused kernel compiles tri_window faces; re-selected per control step
     # by centroid distance minus face bounding radius (terrain/scene.

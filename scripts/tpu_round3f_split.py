@@ -59,15 +59,17 @@ from mocca_envs_tpu.tasks.walker_stepper import StepperParams, make_walker3d_ste
 from mocca_envs_tpu.utils.config import EngineConfig
 
 
-def guarded(tag, fn, *a, **kw):
+def guarded(gtag, fn, *a, **kw):
+    # first param must not be named "tag" — several wrapped fns take a
+    # tag= kwarg of their own (the queue-4 first-run crash)
     if time.time() > DEADLINE:
-        emit(phase=tag, skipped="deadline")
+        emit(phase=gtag, skipped="deadline")
         return None
     try:
         return fn(*a, **kw)
     except Exception:
         traceback.print_exc()
-        emit(phase=tag, ok=False, error=traceback.format_exc()[-300:])
+        emit(phase=gtag, ok=False, error=traceback.format_exc()[-300:])
         return None
 
 

@@ -117,21 +117,25 @@ def decomp(env_id):
     timeit("r_policy", roll, params, state.env_state, obs0,
            jax.random.key(1))
 
-    # 3. full train_step
-    def tstep(s):
-        s2, _m = learner.train_step(s)
-        return s2
+    # 3. full train_step — and a clean-process epochs/minibatches toggle
+    # (3d's toggle rows ran in a degraded-tunnel process; re-measure)
+    def bench_train(tag, cfg2):
+        lrn = PPOLearner(env, cfg2, num_envs=B)
+        s = lrn.init(seed=0)
+        s, _ = lrn.train_step(s)
+        jax.block_until_ready(s.params)
+        t0 = time.perf_counter()
+        for _ in range(3):
+            s, _ = lrn.train_step(s)
+        jax.block_until_ready(s.params)
+        dt = (time.perf_counter() - t0) / 3
+        emit(phase="decomp", env=env_id, tag=tag, s=round(dt, 4),
+             env_steps_per_s=round(B * H / dt))
 
-    s = state
-    s = tstep(s)        # compile
-    jax.block_until_ready(s.params)
-    t0 = time.perf_counter()
-    for _ in range(3):
-        s = tstep(s)
-    jax.block_until_ready(s.params)
-    dt = (time.perf_counter() - t0) / 3
-    emit(phase="decomp", env=env_id, tag="train", s=round(dt, 4),
-         env_steps_per_s=round(B * H / dt))
+    bench_train("train_e4_m32", cfg)
+    bench_train("train_e1_m1", PPOConfig(
+        horizon=H, num_epochs=1, num_minibatches=1,
+        reward_scale=0.1, log_std_min=-1.0))
 
 
 for env_id in ("Walker3DCustomEnv-v0", "Walker3DStepperEnv-v0",

@@ -35,7 +35,7 @@ for i in $(seq 1 20); do
     sleep 120
     NOW=$(date +%s)
     NEWEST=0
-    for f in scripts/tpu_round3[fghij]_results.jsonl; do
+    for f in scripts/tpu_round3[fghijk]_results.jsonl; do
       [ -f "$f" ] && M=$(stat -c %Y "$f") && [ "$M" -gt "$NEWEST" ] && NEWEST=$M
     done
     AGE=$((NOW-NEWEST)); ALIVE=$((NOW-START))

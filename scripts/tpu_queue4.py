@@ -42,7 +42,9 @@ def deadline_for(script):
     if script.endswith("3j_decomp.py"):
         return min(now + 40 * 60, GLOBAL_END - 3.2 * 3600)
     if script.endswith("3k_highstage2.py"):
-        return min(now + 70 * 60, GLOBAL_END - 2.3 * 3600)
+        return min(now + 70 * 60, GLOBAL_END - 1.3 * 3600)
+    if script.endswith("3l_orient.py"):
+        return min(now + 70 * 60, GLOBAL_END - 5 * 60)
     return GLOBAL_END
 
 
@@ -69,6 +71,7 @@ for script in ("scripts/tpu_round3f_split.py",
                "scripts/tpu_round3h_monkey3.py",
                "scripts/tpu_round3j_decomp.py",
                "scripts/tpu_round3k_highstage2.py",
+               "scripts/tpu_round3l_orient.py",
                "scripts/tpu_round3i_seed2.py"):
     if finished(script):
         print(f"QUEUE4: {script} already finished — skipping", flush=True)

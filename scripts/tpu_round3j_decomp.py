@@ -117,6 +117,57 @@ def decomp(env_id):
     timeit("r_policy", roll, params, state.env_state, obs0,
            jax.random.key(1))
 
+    # bisection rows: which ingredient of the policy rollout costs?
+    @jax.jit
+    def r_policy_nostore(es, obs, key):
+        # net in the loop, trajectory NOT stored
+        def body(carry, _):
+            es, obs, key = carry
+            key, ka = jax.random.split(key)
+            a, _lp, _v = policy(params, obs, ka)
+            tr = step(es, a)
+            return (tr.state, tr.obs, key), ()
+
+        (es, obs, key), _ = jax.lax.scan(
+            body, (es, obs, key), None, length=H)
+        return es
+
+    timeit("r_policy_nostore", r_policy_nostore, state.env_state, obs0,
+           jax.random.key(2))
+
+    @jax.jit
+    def r_random_store(es, key):
+        # random actions, but store the same trajectory slices the
+        # learner stores (obs via env transitions + metrics)
+        def body(carry, _):
+            es, key = carry
+            key, ka = jax.random.split(key)
+            a = jax.random.uniform(ka, (B, env.act_dim), minval=-1, maxval=1)
+            tr = step(es, a)
+            return (tr.state, key), (tr.obs, a, tr.reward, tr.done, tr.metrics)
+
+        (es, key), outs = jax.lax.scan(body, (es, key), None, length=H)
+        return es, outs
+
+    timeit("r_random_store", r_random_store, state.env_state,
+           jax.random.key(3))
+
+    @jax.jit
+    def net_only(obs, key):
+        # the policy chain alone, H times sequentially (no env)
+        def body(carry, _):
+            obs, key = carry
+            key, ka = jax.random.split(key)
+            a, _lp, _v = policy(params, obs, ka)
+            # feed a cheap function of a back in so the scan can't collapse
+            obs = obs + 1e-6 * jnp.sum(a)
+            return (obs, key), ()
+
+        (obs, key), _ = jax.lax.scan(body, (obs, key), None, length=H)
+        return obs
+
+    timeit("net_only", net_only, obs0, jax.random.key(4))
+
     # 3. full train_step — and a clean-process epochs/minibatches toggle
     # (3d's toggle rows ran in a degraded-tunnel process; re-measure)
     def bench_train(tag, cfg2):

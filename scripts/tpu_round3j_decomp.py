@@ -135,6 +135,28 @@ def decomp(env_id):
     timeit("r_policy_nostore", r_policy_nostore, state.env_state, obs0,
            jax.random.key(2))
 
+    # round-4 row: policy in the loop but step WITHOUT the in-graph
+    # auto-reset — isolates the reset branch (stone resample + scene
+    # rebuild + obs_fn-on-fresh, computed unconditionally every step by
+    # make_fn_env) from the policy/storage costs
+    step_nr = jax.vmap(env.step_no_reset)
+
+    @jax.jit
+    def r_policy_noreset(es, obs, key):
+        def body(carry, _):
+            es, obs, key = carry
+            key, ka = jax.random.split(key)
+            a, _lp, _v = policy(params, obs, ka)
+            tr = step_nr(es, a)
+            return (tr.state, tr.obs, key), ()
+
+        (es, obs, key), _ = jax.lax.scan(
+            body, (es, obs, key), None, length=H)
+        return es
+
+    timeit("r_policy_noreset", r_policy_noreset, state.env_state, obs0,
+           jax.random.key(5))
+
     @jax.jit
     def r_random_store(es, key):
         # random actions, but store the same trajectory slices the

@@ -210,6 +210,30 @@ def decomp(env_id):
         horizon=H, num_epochs=1, num_minibatches=1,
         reward_scale=0.1, log_std_min=-1.0))
 
+    # profiler trace of 2 warm train_steps → per-op device timeline for
+    # offline attribution (perfetto json under profiles/). Guarded: the
+    # axon plugin is experimental and device tracing may be unsupported.
+    try:
+        import glob
+
+        pdir = f"/root/repo/profiles/3j_{env_id.split('-')[0]}"
+        lrn = PPOLearner(env, cfg, num_envs=B)
+        s = lrn.init(seed=0)
+        s, _ = lrn.train_step(s)
+        jax.block_until_ready(s.params)
+        jax.profiler.start_trace(pdir)
+        for _ in range(2):
+            s, _ = lrn.train_step(s)
+        jax.block_until_ready(s.params)
+        jax.profiler.stop_trace()
+        n = len(glob.glob(pdir + "/**/*.json.gz", recursive=True)) + len(
+            glob.glob(pdir + "/**/*.xplane.pb", recursive=True))
+        emit(phase="profile", env=env_id, dir=pdir, artifacts=n)
+    except Exception:
+        traceback.print_exc()
+        emit(phase="profile", env=env_id, ok=False,
+             error=traceback.format_exc()[-200:])
+
 
 for env_id in ("Walker3DCustomEnv-v0", "Walker3DStepperEnv-v0",
                "Monkey3DStepperEnv-v0"):

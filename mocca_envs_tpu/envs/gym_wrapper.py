@@ -39,6 +39,8 @@ class GymEnv:
         # render("human") accumulator → interactive HTML on close()
         self._human_qs = None
         self._human_path = f"{env.name.lower()}_view.html"
+        self._curriculum = None
+        self._reset_prev = jax.jit(env.reset)
 
     # -- reference API surface -------------------------------------------
     def seed(self, seed: int):
@@ -47,9 +49,63 @@ class GymEnv:
         self._reset_count = 0
         return [seed]
 
+    def set_curriculum(self, stage: float):
+        """Reference trainer API (SURVEY.md §3.5 ``env.set_curriculum(k)``):
+        takes effect at the next ``reset()`` — terrain is resampled with the
+        stage-k ranges; physics is unchanged."""
+        self._curriculum = float(stage)
+
+    def get_mirror_indices(self):
+        """Reference-style mirror index lists (the mocca extras consumed by
+        symmetry-augmented trainers — SURVEY.md §2.1 C5 [K-med] mirror-index
+        accessors). Returns ``(neg_obs, right_obs, left_obs, neg_act,
+        right_act, left_act)``; mirroring applies as::
+
+            m = obs.copy()
+            m[right], m[left] = obs[left], obs[right]
+            m[neg] *= -1
+
+        Exactly equivalent to the engine's perm+sign maps
+        (``obs[perm] * sign``): negation lists are ``sign < 0`` at the
+        destination index, swap lists are the permutation's 2-cycles."""
+        m = self._env.mirror
+        if m is None:
+            raise ValueError(f"{self._env.name} has no mirror spec")
+
+        def split(perm, sign):
+            perm = np.asarray(perm)
+            sign = np.asarray(sign)
+            neg = np.nonzero(sign < 0)[0]
+            right = np.asarray(
+                [i for i in range(len(perm)) if perm[i] > i], dtype=np.int64
+            )
+            left = perm[right] if right.size else right
+            return neg, right, left
+
+        no, ro, lo = split(m["obs_perm"], m["obs_sign"])
+        na, ra, la = split(m["act_perm"], m["act_sign"])
+        return no, ro, lo, na, ra, la
+
     def reset(self) -> np.ndarray:
         key = rng_mod.root_key(self._seed)
-        self._state = self._reset(key, jnp.asarray(self._reset_count, jnp.int32))
+        n = jnp.asarray(self._reset_count, jnp.int32)
+        self._state = self._reset(key, n)
+        if self._curriculum is not None:
+            task = getattr(self._state, "task", None)
+            if task is None or not hasattr(task, "stage"):
+                raise ValueError(
+                    f"{self._env.name} has no curriculum stage to set"
+                )
+            # stamp the stage, then re-reset with prev= so the terrain is
+            # resampled under the stage-k ranges (same episode key — only
+            # the stage differs; the fresh task can't trip the advance
+            # predicate, so the stamped stage carries through verbatim)
+            staged = self._state.replace(
+                task=task.replace(
+                    stage=jnp.full_like(task.stage, self._curriculum)
+                )
+            )
+            self._state = self._reset_prev(key, n, staged)
         self._reset_count += 1
         return np.asarray(self._env.obs_fn(self._state))
 

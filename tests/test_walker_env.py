@@ -121,6 +121,51 @@ def test_gym_wrapper_api(env):
     assert state_view["q"].shape == (7 + 21,)
 
 
+def test_gym_wrapper_mirror_indices_equal_perm_sign(env):
+    """get_mirror_indices (reference mirror-index accessor, SURVEY C5):
+    the swap+negate lists must reproduce obs[perm]*sign exactly."""
+    g = GymEnv(env, seed=0)
+    no, ro, lo, na, ra, la = g.get_mirror_indices()
+    m = env.mirror
+    rng = np.random.default_rng(5)
+    for perm, sign, neg, right, left in (
+        (m["obs_perm"], m["obs_sign"], no, ro, lo),
+        (m["act_perm"], m["act_sign"], na, ra, la),
+    ):
+        x = rng.normal(size=len(np.asarray(perm)))
+        via_perm = x[np.asarray(perm)] * np.asarray(sign)
+        y = x.copy()
+        y[right], y[left] = x[left], x[right]
+        y[neg] *= -1.0
+        np.testing.assert_allclose(y, via_perm, rtol=0, atol=0)
+
+
+def test_gym_wrapper_set_curriculum_resamples_terrain():
+    """set_curriculum(k) (reference trainer API, SURVEY §3.5): next reset
+    samples stage-k terrain — stage 9 stones tilt, stage 0 stones don't —
+    and the walker env without a curriculum rejects the call."""
+    import mocca_envs_tpu
+    from mocca_envs_tpu.envs.gym_wrapper import GymEnv as GE
+
+    g = GE(mocca_envs_tpu.make("Walker3DStepperEnv"), seed=11)
+    g.reset()
+    flat_quat = np.asarray(g.state.task.stone_quat)
+    assert float(g.state.task.stage.max()) == 0.0
+    tilt0 = np.abs(flat_quat[2:, 1:3]).max()  # stage 0: no x/y tilt
+
+    g.set_curriculum(9.0)
+    g.reset()
+    assert float(g.state.task.stage.min()) == 9.0
+    hard_quat = np.asarray(g.state.task.stone_quat)
+    tilt9 = np.abs(hard_quat[2:, 1:3]).max()
+    assert tilt0 < 1e-5 and tilt9 > 0.02, (tilt0, tilt9)
+
+    w = GE(mocca_envs_tpu.make("Walker3DCustomEnv"), seed=0)
+    w.set_curriculum(3.0)
+    with pytest.raises(ValueError):
+        w.reset()
+
+
 @pytest.mark.slow
 def test_pd_walker_variant_steps_and_holds():
     """Walker3DPDCustomEnv (BASELINE config 2 'PD control' bench variant):

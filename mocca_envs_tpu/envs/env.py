@@ -78,6 +78,16 @@ class FnEnv:
     control_dt: float
     mirror: Any = None  # (obs_perm_sign, act_perm, act_sign) when available
     model: Any = None   # RobotModel metadata (FK replay, parity, viewer)
+    # obs for the FRESH state at in-graph auto-reset. The full obs_fn
+    # re-runs the XLA-path narrowphase for frame-0 contact flags — traced
+    # into every scan step for every env, that single subgraph measured
+    # 25× the entire fused control step on stone scenes (round-4 3j
+    # decomposition: stepper policy rollout 198k vs 6.0M env-steps/s with
+    # the reset branch's obs eliminated). Families may provide a cheap
+    # variant (e.g. zero contact flags — pybullet reports no contacts
+    # before the first stepSimulation, so frame-0 zeros are the
+    # reference-parity value); None falls back to obs_fn.
+    reset_obs_fn: Callable[[EnvState], jnp.ndarray] | None = None
 
     def init(self, key: jax.Array) -> EnvState:
         return self.reset(key, jnp.zeros((), jnp.int32))
@@ -103,8 +113,14 @@ def make_fn_env(
     control_dt: float,
     mirror=None,
     model=None,
+    reset_obs_fn: Callable | None = None,
 ) -> FnEnv:
-    """Assemble a family: wraps ``raw_step`` with done/NaN auto-reset."""
+    """Assemble a family: wraps ``raw_step`` with done/NaN auto-reset.
+
+    ``reset_obs_fn`` (optional) computes the fresh state's obs at
+    auto-reset instead of ``obs_fn`` — see FnEnv.reset_obs_fn for why.
+    """
+    fresh_obs = reset_obs_fn or obs_fn
 
     def step(state: EnvState, action: jnp.ndarray) -> Transition:
         tr = raw_step(state, action)
@@ -122,7 +138,7 @@ def make_fn_env(
             blowup_count=state.blowup_count + blowup.astype(jnp.int32)
         )
         next_state = _select(done, fresh, tr.state)
-        obs = jnp.where(done, obs_fn(next_state), tr.obs)
+        obs = jnp.where(done, fresh_obs(next_state), tr.obs)
         return Transition(
             state=next_state.replace(done=done),
             obs=obs,
@@ -142,6 +158,7 @@ def make_fn_env(
         control_dt=control_dt,
         mirror=mirror,
         model=model,
+        reset_obs_fn=reset_obs_fn,
     )
 
 

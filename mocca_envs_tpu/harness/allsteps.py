@@ -297,9 +297,12 @@ def eval_fixed_stage(
     # full chain = last stone index (stone_top is (B, K, 3))
     last_stone = env_state.task.stone_top.shape[-2] - 1
 
+    # obs is CARRIED (tr.obs), exactly like the training rollout —
+    # recomputing obs_fn per step re-runs the XLA-path narrowphase the
+    # fused kernel exists to avoid (measured 25× slower on the stepper:
+    # 200k vs 5M env-steps/s, round-4 3j decomposition)
     @jax.jit
-    def step_fn(s, key):
-        obs = jax.vmap(env.obs_fn)(s)
+    def step_fn(s, obs, key):
         o = jnp.clip(
             (obs - norm.mean) / jnp.sqrt(norm.var + 1e-8), -10.0, 10.0
         )
@@ -310,15 +313,16 @@ def eval_fixed_stage(
         ) * noise
         pre = s.task.next_step
         tr = jax.vmap(env.step)(s, a)
-        return tr.state, tr.done, pre, tr.state.reset_count
+        return tr.state, tr.obs, tr.done, pre, tr.state.reset_count
 
     key = jax.random.key(97 + int(stage))
+    obs = jax.jit(jax.vmap(env.obs_fn))(env_state)
     done_steps = []
     for t in range(cfg.eval_steps):
         if t % 50 == 0:
             hooks.beat()
         key, ka = jax.random.split(key)
-        env_state, done, pre, rc = step_fn(env_state, ka)
+        env_state, obs, done, pre, rc = step_fn(env_state, obs, ka)
         d = np.asarray(done) & (np.asarray(rc) > rc0 + 1)
         if d.any():
             done_steps.append(np.asarray(pre)[d])

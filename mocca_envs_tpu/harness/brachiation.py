@@ -121,9 +121,10 @@ def eval_bars(
         env_state = set_stage(env_state, float(stage))
     rc0 = np.asarray(env_state.reset_count).copy()
 
+    # obs carried (tr.obs) — see allsteps.eval_fixed_stage: per-step
+    # obs_fn re-runs the XLA narrowphase, 25× slower than the kernel path
     @jax.jit
-    def step_fn(s, key):
-        obs = jax.vmap(env.obs_fn)(s)
+    def step_fn(s, obs, key):
         o = jnp.clip(
             (obs - norm.mean) / jnp.sqrt(norm.var + 1e-8), -10.0, 10.0
         )
@@ -135,15 +136,16 @@ def eval_bars(
         pre = s.task.next_bar
         sg = s.task.stage
         tr = jax.vmap(env.step)(s, a)
-        return tr.state, tr.done, pre, sg, tr.state.reset_count
+        return tr.state, tr.obs, tr.done, pre, sg, tr.state.reset_count
 
     key = jax.random.key(41 + int(stage or 0))
+    obs = jax.jit(jax.vmap(env.obs_fn))(env_state)
     done_bars, done_stage = [], []
     for t in range(cfg.eval_steps):
         if t % 50 == 0:
             hooks.beat()
         key, ka = jax.random.split(key)
-        env_state, done, pre, sg, rc = step_fn(env_state, ka)
+        env_state, obs, done, pre, sg, rc = step_fn(env_state, obs, ka)
         d = np.asarray(done)
         if stage is not None:
             d = d & (np.asarray(rc) > rc0 + 1)

@@ -96,6 +96,7 @@ def make_cassie(
     planar: bool = False,
     phase_obs: bool = False,
     ref_gait=None,
+    reset_obs: str = "exact",
 ):
     """``ref_gait`` (models/cassie_gait.GaitTable) turns a phase variant into
     a reference-motion TRACKING env (the reference's CassiePhase* mocap
@@ -152,6 +153,18 @@ def make_cassie(
         return full_obs(
             state, T.reset_foot_flags(model, config.contact_margin, state)
         )
+
+    # cheap frame-0 obs at auto-reset (see FnEnv.reset_obs_fn)
+    if reset_obs == "zero":
+        nfeet = len(model.foot_links)
+
+        def reset_obs_fn(state: EnvState) -> jnp.ndarray:
+            return full_obs(state, jnp.zeros(nfeet, state.q.dtype))
+
+    elif reset_obs == "exact":
+        reset_obs_fn = None
+    else:
+        raise ValueError(f"unknown reset_obs mode {reset_obs!r}")
 
     def reset(key: jax.Array, reset_count, prev: EnvState | None = None) -> EnvState:
         ek = rng_mod.reset_key(key, reset_count)
@@ -255,4 +268,5 @@ def make_cassie(
         obs_fn=obs_fn,
         control_dt=config.control_dt,
         model=model,
+        reset_obs_fn=reset_obs_fn,
     )

@@ -100,6 +100,7 @@ def make_walker3d_custom(
     terminal_link_names: tuple | None = None,
     pd_control: bool = False,
     scene_builder=None,
+    reset_obs: str = "exact",
 ):
     """Build the FnEnv for walk-to-target on flat ground.
 
@@ -185,6 +186,19 @@ def make_walker3d_custom(
         body = T.body_obs(model, q, qd, initial_z, angle)
         q_s, qd_s = T.joint_obs(model, q, qd)
         return jnp.concatenate([body, q_s, qd_s, foot_contact])
+
+    # cheap frame-0 obs at auto-reset (see FnEnv.reset_obs_fn): the spawn
+    # is airborne by construction, so zero flags equal the exact predicate
+    if reset_obs == "zero":
+        nfeet = len(model.foot_links)
+
+        def reset_obs_fn(state: EnvState) -> jnp.ndarray:
+            return obs_with_contacts(state, jnp.zeros(nfeet, state.q.dtype))
+
+    elif reset_obs == "exact":
+        reset_obs_fn = None
+    else:
+        raise ValueError(f"unknown reset_obs mode {reset_obs!r}")
 
     def reset(key: jax.Array, reset_count, prev: EnvState | None = None) -> EnvState:
         ek = rng_mod.reset_key(key, reset_count)
@@ -311,4 +325,5 @@ def make_walker3d_custom(
         control_dt=config.control_dt,
         mirror=T.mirror_spec(model),
         model=model,
+        reset_obs_fn=reset_obs_fn,
     )

@@ -98,6 +98,7 @@ def make_walker3d_stepper(
     name: str = "Walker3DStepperEnv",
     initial_z: float | None = None,
     orient_obs: bool = False,
+    reset_obs: str = "exact",
 ):
     model = model or walker3d.make_model()
     config = config or EngineConfig()
@@ -167,6 +168,24 @@ def make_walker3d_stepper(
         return full_obs(
             state, T.reset_foot_flags(model, config.contact_margin, state)
         )
+
+    # reset_obs="zero": frame-0 contact flags are zeros instead of the
+    # narrowphase predicate. The spawn pose is deliberately airborne
+    # (z = initial_z + 0.02) so the exact flags are zero anyway (gated by
+    # tests/test_reset_obs.py), and pybullet reports no contacts before
+    # the first stepSimulation — but the narrowphase subgraph traced into
+    # the auto-reset of every scan step dominated stepper TRAINING 13×
+    # (round-4 3j rows). "exact" keeps the full predicate.
+    if reset_obs == "zero":
+        nfeet = len(model.foot_links)
+
+        def reset_obs_fn(state: EnvState) -> jnp.ndarray:
+            return full_obs(state, jnp.zeros(nfeet, state.q.dtype))
+
+    elif reset_obs == "exact":
+        reset_obs_fn = None
+    else:
+        raise ValueError(f"unknown reset_obs mode {reset_obs!r}")
 
     def reset(key: jax.Array, reset_count, prev: EnvState | None = None) -> EnvState:
         ek = rng_mod.reset_key(key, reset_count)
@@ -312,4 +331,5 @@ def make_walker3d_stepper(
             + ([1.0, -1.0, 1.0, -1.0] if orient_obs else []),
         ),
         model=model,
+        reset_obs_fn=reset_obs_fn,
     )

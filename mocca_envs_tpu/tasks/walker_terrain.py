@@ -87,6 +87,7 @@ def make_walker3d_terrain(
     amplitude: float = 0.25,
     terrain_seed: int = 0,
     lidar: bool = False,
+    reset_obs: str = "exact",
 ):
     """Walker walk-to-target on a heightfield.
 
@@ -96,7 +97,7 @@ def make_walker3d_terrain(
     """
     base = make_walker3d_custom(
         config=config, params=params, name=name,
-        initial_z=walker3d.INITIAL_Z,
+        initial_z=walker3d.INITIAL_Z, reset_obs=reset_obs,
     )
     cell = extent / (grid - 1)
     n_bank = 16
@@ -209,6 +210,20 @@ def make_walker3d_terrain(
             parts.append(_lidar(state))
         return jnp.concatenate(parts)
 
+    # auto-reset obs passthrough (see FnEnv.reset_obs_fn): when the base
+    # walker family carries a cheap reset-obs variant, compose it with the
+    # probe/lidar tails the same way obs_fn composes the exact one
+    if base.reset_obs_fn is not None:
+
+        def reset_obs_fn(state: EnvState) -> jnp.ndarray:
+            parts = [base.reset_obs_fn(state), _probes(state)]
+            if lidar:
+                parts.append(_lidar(state))
+            return jnp.concatenate(parts)
+
+    else:
+        reset_obs_fn = None
+
     def raw_step(state: EnvState, action):
         # ONE P×P patch extraction per control step, shared by the fused
         # kernel's hf narrowphase (ops/step._hf_patch_args passes a
@@ -261,4 +276,5 @@ def make_walker3d_terrain(
         control_dt=base.control_dt,
         mirror=mirror,
         model=base.model,
+        reset_obs_fn=reset_obs_fn,
     )

@@ -115,7 +115,7 @@ HS_CFG = PPOConfig(horizon=128, num_epochs=4, num_minibatches=32, lr=3e-4,
 
 WALKER = mocca_envs_tpu.make("Walker3DCustomEnv-v0")
 EVAL_ENV = make_walker3d_stepper(params=PIN_SP, orient_obs=True,
-                                 name="EvalStepper4a")
+                                 name="EvalStepper4a", reset_obs="zero")
 
 
 def guarded(tag, fn, *a, **kw):
@@ -357,29 +357,32 @@ def bench_policy(env, net, params, norm, tag, B=4096, T=600, rounds=3):
     keys = rng_mod.env_keys(rng_mod.root_key(0), B)
     state = jax.jit(jax.vmap(env.init))(keys)
 
-    @functools.partial(jax.jit, donate_argnums=(0,))
-    def rollout(state):
-        def body(s, _):
-            obs = jax.vmap(env.obs_fn)(s)
+    # obs carried (tr.obs), like the training rollout — per-step obs_fn
+    # re-runs the XLA narrowphase (25x slower on stone scenes, 3j rows)
+    @functools.partial(jax.jit, donate_argnums=(0, 1))
+    def rollout(state, obs):
+        def body(carry, _):
+            s, obs = carry
             o = jnp.clip((obs - norm.mean) / jnp.sqrt(norm.var + 1e-8),
                          -10.0, 10.0)
             mean, _ls, _v = net.apply(params, o)
             tr = jax.vmap(env.step)(s, mean)
-            return tr.state, ()
+            return (tr.state, tr.obs), ()
 
-        state, _ = jax.lax.scan(body, state, None, length=T)
-        return state
+        (state, obs), _ = jax.lax.scan(body, (state, obs), None, length=T)
+        return state, obs
 
+    obs = jax.jit(jax.vmap(env.obs_fn))(state)
     beat()
     tC = time.perf_counter()
-    state = rollout(state)
+    state, obs = rollout(state, obs)
     jax.block_until_ready(state.q)
     compile_s = time.perf_counter() - tC
     times = []
     for _ in range(rounds):
         beat()
         t0 = time.perf_counter()
-        state = rollout(state)
+        state, obs = rollout(state, obs)
         jax.block_until_ready(state.q)
         times.append(time.perf_counter() - t0)
     emit(phase="bench_policy", tag=tag, batch=B, steps=T,
@@ -406,8 +409,12 @@ def main():
     # P2: orient-obs stepper transfer. The tilt terms append at the obs
     # TAIL, so the prefix embed grows the first Dense kernel and keeps the
     # walker policy intact (CPU-validated path, commit d882a9a).
+    # reset_obs="zero": frame-0 flags are zeros (bit-identical to the
+    # exact predicate at spawn — tests/test_reset_obs.py gates rollout
+    # equality), skipping the auto-reset narrowphase that made stepper
+    # training 7.7x slower than the walker (3j decomposition)
     st_env = make_walker3d_stepper(params=STONE_SP, orient_obs=True,
-                                   name="Stepper4a")
+                                   name="Stepper4a", reset_obs="zero")
     st_learner = PPOLearner(st_env, ST_CFG, num_envs=NUM_ENVS)
     seeded = transfer_train_state(
         pre_state, st_learner.init(seed=SEED), reset_log_std=-0.5)
@@ -421,7 +428,7 @@ def main():
 
     # P3: pinned high-stage dwell (3g lever) + floor anneal, from P2's end.
     hs_env = make_walker3d_stepper(params=PIN_SP, orient_obs=True,
-                                   name="Stepper4aHS")
+                                   name="Stepper4aHS", reset_obs="zero")
     hs_learner = PPOLearner(hs_env, HS_CFG, num_envs=NUM_ENVS)
     pin = 4.0 + (jnp.arange(NUM_ENVS) % 6).astype(jnp.float32)  # 4..9
     hs_state = guarded("highstage", train, hs_learner,

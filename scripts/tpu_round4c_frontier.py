@@ -100,27 +100,30 @@ def bench_policy(env, net, params, norm, tag, B=4096, T=600, rounds=3):
     keys = rng_mod.env_keys(rng_mod.root_key(0), B)
     state = jax.jit(jax.vmap(env.init))(keys)
 
-    @functools.partial(jax.jit, donate_argnums=(0,))
-    def rollout(state):
-        def body(s, _):
-            obs = jax.vmap(env.obs_fn)(s)
+    # obs carried (tr.obs), like the training rollout — per-step obs_fn
+    # re-runs the XLA narrowphase (25x slower on stone scenes, 3j rows)
+    @functools.partial(jax.jit, donate_argnums=(0, 1))
+    def rollout(state, obs):
+        def body(carry, _):
+            s, obs = carry
             o = jnp.clip((obs - norm.mean) / jnp.sqrt(norm.var + 1e-8),
                          -10.0, 10.0)
             mean, _ls, _v = net.apply(params, o)
             tr = jax.vmap(env.step)(s, mean)
-            return tr.state, ()
+            return (tr.state, tr.obs), ()
 
-        state, _ = jax.lax.scan(body, state, None, length=T)
-        return state
+        (state, obs), _ = jax.lax.scan(body, (state, obs), None, length=T)
+        return state, obs
 
+    obs = jax.jit(jax.vmap(env.obs_fn))(state)
     beat()
-    state = rollout(state)
+    state, obs = rollout(state, obs)
     jax.block_until_ready(state.q)
     times = []
     for _ in range(rounds):
         beat()
         t0 = time.perf_counter()
-        state = rollout(state)
+        state, obs = rollout(state, obs)
         jax.block_until_ready(state.q)
         times.append(time.perf_counter() - t0)
     emit(phase="bench_policy", tag=tag, batch=B, steps=T,
@@ -136,7 +139,7 @@ def main():
 
     env = make_walker3d_stepper(
         params=CFG.stepper_params(pinned=True), orient_obs=True,
-        name="Stepper4cFrontier",
+        name="Stepper4cFrontier", reset_obs="zero",
     )
     learner = PPOLearner(env, CFG.ppo(), num_envs=NUM_ENVS)
 

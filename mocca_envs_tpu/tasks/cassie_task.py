@@ -96,7 +96,7 @@ def make_cassie(
     planar: bool = False,
     phase_obs: bool = False,
     ref_gait=None,
-    reset_obs: str = "exact",
+    reset_obs: str = "zero",
 ):
     """``ref_gait`` (models/cassie_gait.GaitTable) turns a phase variant into
     a reference-motion TRACKING env (the reference's CassiePhase* mocap

@@ -100,7 +100,7 @@ def make_walker3d_custom(
     terminal_link_names: tuple | None = None,
     pd_control: bool = False,
     scene_builder=None,
-    reset_obs: str = "exact",
+    reset_obs: str = "zero",
 ):
     """Build the FnEnv for walk-to-target on flat ground.
 

@@ -97,8 +97,8 @@ def make_walker3d_stepper(
     model: RobotModel | None = None,
     name: str = "Walker3DStepperEnv",
     initial_z: float | None = None,
-    orient_obs: bool = False,
-    reset_obs: str = "exact",
+    orient_obs: bool = True,
+    reset_obs: str = "zero",
 ):
     model = model or walker3d.make_model()
     config = config or EngineConfig()
@@ -122,8 +122,11 @@ def make_walker3d_stepper(
     # orient_obs appends the two stones' top-normal xy in the heading frame
     # (SURVEY.md §2.2 B4 [K-med] "stone orientation terms" — end-stage
     # stones tilt ±25°, so foothold tilt is task-relevant). Appended at the
-    # TAIL so the walker-prefix transfer embed stays valid; default OFF to
-    # keep round-3 checkpoints compatible.
+    # TAIL so the walker-prefix transfer embed stays valid. Default ON since
+    # round 4: two independent seeds climbed the ALLSTEPS curriculum to mean
+    # stage 8.5/8.4 with tilt vision vs 5.8 blind (BENCH.md round 4), so
+    # blindness was the capability bottleneck. Round-3 stepper checkpoints
+    # (trained blind) need an explicit orient_obs=False to load.
     obs_dim = 8 + 2 * model.nj + len(model.foot_links) + 6 + (4 if orient_obs else 0)
 
     def _row(arr, idx):

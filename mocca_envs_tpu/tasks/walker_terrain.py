@@ -87,7 +87,7 @@ def make_walker3d_terrain(
     amplitude: float = 0.25,
     terrain_seed: int = 0,
     lidar: bool = False,
-    reset_obs: str = "exact",
+    reset_obs: str = "zero",
 ):
     """Walker walk-to-target on a heightfield.
 

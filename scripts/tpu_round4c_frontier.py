@@ -9,7 +9,7 @@ consistency gap, not a capability cliff. In the 4..9 pin mixture only
 checkpoint with EVERY env pinned to the 5/5/6 frontier (2:1), floor
 already at −2.0, stone-dominated reward unchanged.
 
-P1 frontier dwell 1200 u (ckpt/r4c_fr, resumable) → P2 ladder evals
+P1 frontier dwell 3000 u (ckpt/r4c_fr, resumable; 10x cheaper after the reset-obs fix) → P2 ladder evals
 (4/5/6 det + 5 stoch, row-comparable to 4a) → P3 grounded bench row.
 JSONL → scripts/tpu_round4c_results.jsonl.
 """
@@ -151,7 +151,7 @@ def main():
     emit(phase="frontier_seed", source="r4a_s1_hs")
     pin = 5.0 + (jnp.arange(NUM_ENVS) % 3 == 2).astype(jnp.float32)  # 5,5,6
     state = guarded(
-        "frontier", train_phase, learner, f"{CKPT}/r4c_fr", 1200,
+        "frontier", train_phase, learner, f"{CKPT}/r4c_fr", 3000,
         "frontier", CFG, HOOKS, seed_state=seeded,
         zero_update_count=True, pin_stages=pin,
     )

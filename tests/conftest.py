@@ -29,6 +29,14 @@ jax.config.update("jax_num_cpu_devices", 8)
 # Persistent compilation cache: the suite is compile-dominated (hundreds of
 # distinct jitted step/env variants); caching executables on disk makes
 # repeated runs minutes faster.
+#
+# Flake note (observed rounds 3 and 4): under a COLD cache plus heavy
+# concurrent host load (e.g. two suites at once, or a TPU training process
+# alongside), the C++ layer under compilation_cache.put_executable_and_time
+# can SIGABRT the whole pytest process mid-write — the pattern matches
+# compile-thread memory pressure, not any test. Warm-cache sequential reruns
+# have always been green. Run ONE suite at a time; don't chase the abort
+# into the tests.
 _cache_dir = os.path.join(os.path.dirname(__file__), "..", ".jax_cache")
 jax.config.update("jax_compilation_cache_dir", os.path.abspath(_cache_dir))
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)

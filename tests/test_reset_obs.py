@@ -44,8 +44,8 @@ def test_spawn_contact_flags_are_zero(stage):
 
 
 def test_zero_mode_obs_equals_exact_on_fresh_states():
-    exact = make_walker3d_stepper(name="ResetObsExact")
-    zero = make_walker3d_stepper(name="ResetObsZero", reset_obs="zero")
+    exact = make_walker3d_stepper(name="ResetObsExact", reset_obs="exact")
+    zero = make_walker3d_stepper(name="ResetObsZero")  # zero is the default
     assert exact.reset_obs_fn is None and zero.reset_obs_fn is not None
     states = _fresh_batch(exact, 32, seed=3)
     o_exact = jax.vmap(exact.obs_fn)(states)
@@ -58,8 +58,8 @@ def test_zero_mode_obs_equals_exact_on_fresh_states():
 def test_zero_mode_rollout_bit_identical():
     """Full auto-reset rollouts agree bit-for-bit between modes: the only
     difference is the frame-0 flag source, and those values coincide."""
-    exact = make_walker3d_stepper(name="ResetObsRollE")
-    zero = make_walker3d_stepper(name="ResetObsRollZ", reset_obs="zero")
+    exact = make_walker3d_stepper(name="ResetObsRollE", reset_obs="exact")
+    zero = make_walker3d_stepper(name="ResetObsRollZ")
     n = 8
     s_e = _fresh_batch(exact, n, seed=5)
     s_z = _fresh_batch(zero, n, seed=5)

@@ -123,8 +123,9 @@ def test_stepper_reset_on_first_stone(env):
     assert int(state.task.next_step) == 1
     obs = env.obs_fn(state)
     assert obs.shape == (env.obs_dim,)
-    # targets in obs are ahead of the robot in heading frame (+x-ish)
-    assert float(obs[-6]) > 0.0
+    # targets in obs are ahead of the robot in heading frame (+x-ish);
+    # the 6 target dims sit before the 4-dim orientation tail (default ON)
+    assert float(obs[-10]) > 0.0
 
 
 @pytest.mark.slow
@@ -221,11 +222,11 @@ def test_step_advance_machine_fires_on_stone_contact():
 
 
 def test_orient_obs_appends_stone_normals():
-    """orient_obs=True (round-4 staging for SURVEY B4's stone orientation
+    """orient_obs (default ON since round 4; SURVEY B4's stone orientation
     terms): 4 tail dims = next-two stone top normals' heading-frame xy —
     ~zero at stage 0 (flat stones), nonzero at stage 9 (tilt ±25°)."""
-    base = make_walker3d_stepper(name="StepperNoOrient")
-    env = make_walker3d_stepper(name="StepperOrient", orient_obs=True)
+    base = make_walker3d_stepper(name="StepperNoOrient", orient_obs=False)
+    env = make_walker3d_stepper(name="StepperOrient")
     assert env.obs_dim == base.obs_dim + 4
     assert env.mirror["obs_perm"].shape == (env.obs_dim,)
     # mirror signs on the orientation tail: n_y negates

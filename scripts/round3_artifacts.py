@@ -42,7 +42,10 @@ def main(argv=None):
     SP = StepperParams.default().replace(
         adv_threshold=jnp.asarray(99.0, jnp.float32)
     )
-    env = make_walker3d_stepper(params=SP, name="ArtifactStepper")
+    # round-3 checkpoints were trained BLIND (pre tilt-vision); the round-4
+    # defaults flip means orient_obs must be disabled explicitly to restore
+    env = make_walker3d_stepper(params=SP, name="ArtifactStepper",
+                                orient_obs=False)
     # learner shapes must match the training run (3b recipe)
     cfg = PPOConfig(horizon=128, num_epochs=4, num_minibatches=32, lr=3e-4,
                     reward_scale=0.1, mirror_coef=4.0, log_std_min=-1.0,

@@ -70,3 +70,18 @@ def test_mirror_involution():
         )
         # mirroring is not the identity (it actually swaps limbs)
         assert not np.allclose(T.mirror_obs(spec, obs), obs)
+
+
+def test_round4_registry_defaults():
+    """Round-4 default flips, pinned so a refactor can't silently revert
+    them: the registry stepper ships WITH tilt vision (orient_obs — two
+    seeds climbed to mean stage 8.5/8.4 vs 5.8 blind, BENCH.md round 4)
+    and every walker-family env ships with the cheap auto-reset obs
+    (reset_obs="zero" — bit-identical rollouts, 10.4x training speedup)."""
+    st = mocca_envs_tpu.make("Walker3DStepperEnv")
+    # 8 body + 2*21 joints + 2 feet + 6 targets + 4 stone-normal dims
+    assert st.obs_dim == 62, st.obs_dim
+    for env_id in ("Walker3DCustomEnv", "Walker3DStepperEnv",
+                   "Walker3DTerrainEnv", "CassieEnv"):
+        env = mocca_envs_tpu.make(env_id)
+        assert env.reset_obs_fn is not None, env_id

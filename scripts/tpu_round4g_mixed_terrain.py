@@ -89,6 +89,7 @@ def train_loop(learner, state, n_updates, tag, ckpt_dir, log_every=25,
     else:
         start = 0
     t0 = time.time()
+    u = start - 1  # stays if the phase is already complete (retry re-entry)
     for u in range(start, n_updates):
         beat()
         state, metrics = learner.train_step(state)
@@ -122,8 +123,9 @@ def train_loop(learner, state, n_updates, tag, ckpt_dir, log_every=25,
         if time_left() < 420:
             emit(phase=tag, truncated_at=u + 1, reason="deadline")
             break
-    mgr.save(u + 1, state)
-    mgr.wait()
+    if u + 1 > start and (u + 1) % 150 != 0:
+        mgr.save(u + 1, state)
+        mgr.wait()
     mgr.close()
     return state
 

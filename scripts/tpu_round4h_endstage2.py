@@ -128,9 +128,13 @@ def main():
     pins_mix = (5.0 + (jnp.arange(NUM_ENVS) % 4)).astype(jnp.float32)
 
     def run(tag, leaf, lrn, cfg, n, pin, seed_state):
+        # fresh COPY per phase: the seeding writes `pin` into the state
+        # pytree and the phase's first train_step DONATES it — a shared
+        # array would be dead for the next phase (bit this session:
+        # reanneal crashed on the reopen-donated pins buffer)
         out = guarded(tag, train_phase, lrn, f"{CKPT}/{leaf}", n,
                       tag, cfg, HOOKS, seed_state=seed_state,
-                      zero_update_count=True, pin_stages=pin)
+                      zero_update_count=True, pin_stages=jnp.array(pin))
         if out is None:
             return restore_latest(lrn, f"{CKPT}/{leaf}", seed=1)
         return out[0]

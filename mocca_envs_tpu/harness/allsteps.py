@@ -94,6 +94,9 @@ class AllstepsConfig:
     tall_bonus: float = 1.0
     transfer_log_std: float = -0.5
     orient_obs: bool = True
+    # near-miss shaping weight (walker_stepper.StepperParams.w_nearmiss);
+    # 0.0 = the round-4 reward exactly. Round-5+ end-stage lever.
+    w_nearmiss: float = 0.0
     # P3 pinned high-stage dwell
     highstage_updates: int = 900
     pin_lo: int = 4                  # env i pinned to lo + i % (hi-lo+1)
@@ -128,6 +131,7 @@ class AllstepsConfig:
         sp = StepperParams.default().replace(
             adv_threshold=f(99.0 if pinned else self.adv_threshold),
             step_bonus=f(self.step_bonus),
+            w_nearmiss=f(self.w_nearmiss),
         )
         return sp.replace(
             walker=sp.walker.replace(tall_bonus=f(self.tall_bonus))

@@ -50,6 +50,14 @@ class StepperParams(struct.PyTreeNode):
     # stage at the in-graph auto-reset — no trainer round-trip, no recompile,
     # envs progress independently. Set ≥ num_steps to disable.
     adv_threshold: jnp.ndarray
+    # Near-miss shaping (round-5 lever for the stage-8/9 wall, BENCH.md
+    # round 4 "end-stage assault" conclusion): dense potential-based reward
+    # on the SWING FOOT's 3-D distance to the current target stone, in
+    # addition to the root-xy progress term. At the end stages (pitch ±50°,
+    # r→1.35 m) the root progress gradient barely distinguishes a near-miss
+    # from a short step; this term does. 0.0 (default) = exact round-4
+    # reward. Potential basis resets on hit/advance (gated, like progress).
+    w_nearmiss: jnp.ndarray
 
     @classmethod
     def default(cls) -> "StepperParams":
@@ -62,6 +70,7 @@ class StepperParams(struct.PyTreeNode):
             step_bonus=f(6.0),
             success_bonus=f(20.0),
             adv_threshold=f(stones.num_steps - 2),
+            w_nearmiss=f(0.0),
         )
 
     def set_curriculum(self, stage) -> "StepperParams":
@@ -74,6 +83,9 @@ class StepperTaskState(struct.PyTreeNode):
     stone_quat: jnp.ndarray    # (K, 4)
     next_step: jnp.ndarray     # int32 current target stone index
     potential: jnp.ndarray     # −dist(root→target)/dt potential (B7 [K-med])
+    foot_potential: jnp.ndarray  # −dist3(swing foot→target)/dt (near-miss
+                               # shaping basis; carried even at w=0 so the
+                               # pytree structure is recipe-independent)
     stage: jnp.ndarray         # per-env curriculum stage (DYNAMIC, carried
                                # across auto-resets — SURVEY.md §3.5: stage
                                # updates are data, never recompiles)
@@ -231,6 +243,11 @@ def make_walker3d_stepper(
             stone_quat=stone_quat,
             next_step=jnp.asarray(1, jnp.int32),
             potential=-dist / config.control_dt,
+            # real basis needs FK at the reset pose; the first raw_step is
+            # gated (steps==0) so a placeholder 0 never reaches the reward —
+            # and reset stays FK-free (the round-4 3j lesson: compute traced
+            # into the auto-reset path taxes every training scan step)
+            foot_potential=jnp.zeros((), jnp.float32),
             stage=jnp.asarray(stage, jnp.float32),
         )
         return EnvState(
@@ -276,6 +293,26 @@ def make_walker3d_stepper(
             hit, 0.0, wp.w_progress * (potential - task.potential)
         )
 
+        # near-miss shaping: Δ of −dist3(swing foot → target)/dt, gated to
+        # steps where neither the target nor the swing-foot identity changed
+        # (hit flips both) and past the placeholder first step (reset()).
+        foot_pot_old_basis = (
+            -jnp.linalg.norm(swing_pos - tgt) / config.control_dt
+        )
+        fresh = state.steps == 0
+        nearmiss = jnp.where(
+            hit | fresh,
+            0.0,
+            params.w_nearmiss * (foot_pot_old_basis - task.foot_potential),
+        )
+        # stored basis for the NEXT step: new swing foot vs new target
+        new_swing_pos = jnp.where(
+            jnp.mod(next_step, 2) == 0, foot_pos[0], foot_pos[1]
+        )
+        foot_potential = (
+            -jnp.linalg.norm(new_swing_pos - new_tgt) / config.control_dt
+        )
+
         tall = q[2] - tgt[2] > wp.terminal_height
         body_touch = jnp.zeros((), q.dtype)
         for l in terminal_links:
@@ -286,7 +323,7 @@ def make_walker3d_stepper(
         costs = T.energy_costs(model, action, qd, wp.w_electricity, wp.w_stall)
         costs = costs + T.joints_at_limit_cost(model, q, wp.w_limit)
         reward = (
-            progress + alive - costs
+            progress + nearmiss + alive - costs
             + params.step_bonus * hit.astype(q.dtype)
             + params.success_bonus * success.astype(q.dtype)
         )
@@ -301,12 +338,14 @@ def make_walker3d_stepper(
                 stone_quat=task.stone_quat,
                 next_step=next_step,
                 potential=potential,
+                foot_potential=foot_potential,
                 stage=task.stage,
             ),
         )
         obs = full_obs(new_state, info.foot_contact)
         metrics = {
             "progress": progress,
+            "nearmiss": nearmiss,
             "steps_reached": next_step.astype(jnp.float32),
             "stone_hit": hit.astype(q.dtype),
             "success": success.astype(q.dtype),

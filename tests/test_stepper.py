@@ -244,3 +244,41 @@ def test_orient_obs_appends_stone_normals():
     sh = hard.init(jax.random.key(3))
     tailh = np.asarray(hard.obs_fn(sh)[-4:])
     assert np.abs(tailh).max() > 0.05, tailh  # tilted stones visible
+
+
+def test_nearmiss_shaping_is_optional_and_consistent():
+    """Round-5 end-stage lever: w_nearmiss adds a potential-based term on
+    the swing foot's 3-D distance to the target. Gates: (a) w=0 (the
+    shipped default) and w>0 produce IDENTICAL dynamics (reward never
+    feeds back into physics), (b) the reward difference equals the
+    emitted `nearmiss` metric exactly, (c) the term is zero on the gated
+    first step after reset."""
+    p0 = StepperParams.default()
+    pw = StepperParams.default().replace(
+        w_nearmiss=jnp.asarray(0.5, jnp.float32)
+    )
+    e0 = make_walker3d_stepper(name="StepperNM0", params=p0)
+    ew = make_walker3d_stepper(name="StepperNMw", params=pw)
+    s0 = e0.init(jax.random.key(7))
+    sw = ew.init(jax.random.key(7))
+    step0 = jax.jit(e0.step_no_reset)
+    stepw = jax.jit(ew.step_no_reset)
+    key = jax.random.key(11)
+    saw_nonzero = False
+    for i in range(12):
+        key, ka = jax.random.split(key)
+        a = 0.3 * jax.random.normal(ka, (e0.act_dim,))
+        t0 = step0(s0, a)
+        tw = stepw(sw, a)
+        np.testing.assert_array_equal(np.asarray(t0.state.q),
+                                      np.asarray(tw.state.q))
+        nm = float(tw.metrics["nearmiss"])
+        if i == 0:
+            assert nm == 0.0  # first-step gate (reset basis placeholder)
+        assert float(t0.metrics["nearmiss"]) == 0.0  # w=0: term off
+        np.testing.assert_allclose(
+            float(tw.reward) - float(t0.reward), nm, rtol=0, atol=1e-4
+        )
+        saw_nonzero = saw_nonzero or abs(nm) > 1e-6
+        s0, sw = t0.state, tw.state
+    assert saw_nonzero, "shaping term never fired in 12 random steps"

@@ -1,4 +1,4 @@
-"""Round-6a TPU session: end-stage assault #3 — near-miss shaping +
+"""Round-5a TPU session: end-stage assault #3 — near-miss shaping +
 sub-stage pins, READY TO LAUNCH IN MINUTE ONE of the next session.
 
 The round-4 conclusion (BENCH.md "end-stage assault"): the stage-8 wall
@@ -22,7 +22,7 @@ the reset-obs fix) with w_nearmiss=0.05 from P2 on, then the 4h-style
 reopen (floor −1.5, sub-stage retention mixture) → reanneal (−2.25) →
 fixed-stage det ladder 5..9. Honest bar: stage-8 det ep-end ≥ 8.
 
-JSONL → scripts/tpu_round6a_results.jsonl. Budget ≥ 2.5 h; every phase
+JSONL → scripts/tpu_round5a_results.jsonl. Budget ≥ 2.5 h; every phase
 truncates at MOCCA_QUEUE_DEADLINE and resumes on relaunch.
 """
 
@@ -38,7 +38,7 @@ import jax.numpy as jnp
 
 assert jax.default_backend() == "tpu", jax.default_backend()
 
-OUT = "scripts/tpu_round6a_results.jsonl"
+OUT = "scripts/tpu_round5a_results.jsonl"
 HEARTBEAT = "scripts/tpu_queue_heartbeat"
 T0 = time.time()
 DEADLINE = float(os.environ.get("MOCCA_QUEUE_DEADLINE", T0 + 2.5 * 3600))

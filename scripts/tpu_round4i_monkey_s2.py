@@ -52,15 +52,12 @@ from mocca_envs_tpu.harness.brachiation import (
 
 def main():
     emit(phase="session_start", deadline_in_s=round(time_left()))
-    # Round-5 wall is much shorter than the 2h this script was sized
-    # for: compress to 1500+500 updates (vs 2200+700) and trim the
-    # deadline margin so the bar evals still run. An honest reduced-run
-    # row beats a truncated full run that never reaches eval.
-    cfg = BrachiationConfig(
-        seed=2, ckpt_root="/root/repo/ckpt/r4i_brach",
-        main_updates=1500, ft_updates=500, floor_anneal_updates=450,
-        deadline_margin_s=240.0,
-    )
+    # FULL schedule. The round-4 continuation ran this compressed
+    # (1500+500) to fit a 30-min window and got a NEGATIVE: curriculum
+    # never climbed, ep-end 2.99 bars adaptive / 1.96 @stage 9 (BENCH.md
+    # "continuation session") — the spacing-curriculum climb happens in
+    # the late updates this cut off. Round 5: run with >=1 h budget.
+    cfg = BrachiationConfig(seed=2, ckpt_root="/root/repo/ckpt/r4i_brach")
     try:
         out = run_brachiation(
             cfg, RunHooks(emit=emit, beat=beat, time_left=time_left)

@@ -69,11 +69,21 @@ def _make_walker2d_custom(**kw):
 
 def _make_crab2d_custom(**kw):
     from mocca_envs_tpu.models import walker2d
+    from mocca_envs_tpu.tasks.walker_custom import WalkerParams
 
+    # The crab is low-slung: base spawns at z=0.45, so the walker default
+    # terminal_height=0.7 marks the SPAWN pose as fallen (every episode
+    # terminal at every step — exposed by the round-4k training sweep;
+    # random-torque throughput rows never read `done`). 0.2 ≈ the same
+    # fallen fraction of standing height the walkers use (0.7/1.3).
+    params = kw.pop("params", None) or WalkerParams.default().replace(
+        terminal_height=jnp_f32(0.2)
+    )
     return make_walker3d_custom(
         model=walker2d.make_crab2d(),
         name="Crab2DCustomEnv",
         initial_z=walker2d.CRAB2D_INITIAL_Z,
+        params=params,
         constraints=walker2d.planar_spec(),
         terminal_link_names=("base",),
         **kw,

@@ -461,6 +461,8 @@ def main(argv=None) -> None:
     p.add_argument("--num-minibatches", type=int, default=32)
     p.add_argument("--hidden", type=int, nargs="*", default=[256, 256])
     p.add_argument("--eval-steps", type=int, default=700)
+    p.add_argument("--w-nearmiss", type=float, default=0.0,
+                   help="swing-foot near-miss shaping weight (0 = off)")
     args = p.parse_args(argv)
     cfg = AllstepsConfig(
         num_envs=args.num_envs,
@@ -476,6 +478,7 @@ def main(argv=None) -> None:
         num_minibatches=args.num_minibatches,
         hidden=tuple(args.hidden),
         eval_steps=args.eval_steps,
+        w_nearmiss=args.w_nearmiss,
     )
     out = run_allsteps(cfg)
     print(json.dumps({"ladder": out.get("ladder")}, indent=2))

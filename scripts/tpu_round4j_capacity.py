@@ -127,20 +127,24 @@ def main():
     )
     if res is None:
         state = restore_latest(learner, f"{CKPT}/r4j_fr", seed=1)
+        frontier_finished = False
         if state is None:
             emit(phase="session_done", ok=False, failed=FAILED,
                  wall_s=round(time.time() - T0, 1))
             return
     else:
-        state = res[0]
+        state, frontier_finished = res
 
+    # evals still run on a truncated frontier (a capacity probe's rough
+    # answer beats no answer) but every row says so (ADVICE-r4 class fix)
     for stage in (5, 6, 7, 8):
         if time_left() < 300:
             emit(phase="eval", skipped="deadline", stage=stage)
             continue
         row = eval_fixed_stage(env, learner.net, state, stage, dwell_cfg,
                                HOOKS)
-        emit(phase="eval", after="frontier512", **row)
+        emit(phase="eval", after="frontier512",
+             frontier_finished=bool(frontier_finished), **row)
 
     emit(phase="session_done", ok=not FAILED, failed=FAILED,
          wall_s=round(time.time() - T0, 1))

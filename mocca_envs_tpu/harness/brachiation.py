@@ -64,9 +64,12 @@ class BrachiationConfig:
     hold_grace: int = 60
     w_swing: float = 0.5
     progress_timeout: int = 120
-    # phases
-    main_updates: int = 2200
-    ft_updates: int = 700
+    # phases — the round-3e SOLVED schedule was 2500+800 (BENCH.md
+    # "Monkey brachiation — solved"); earlier round-4/5 reruns used
+    # 2200+700 mislabeled as "full", so their negatives ran at 88% of
+    # the solved budget. Defaults now match 3e.
+    main_updates: int = 2500
+    ft_updates: int = 800
     floor_explore: float = -1.0
     floor_final: float = -2.0
     floor_anneal_updates: int = 600
@@ -235,8 +238,8 @@ def main(argv=None) -> None:
     p.add_argument("--num-envs", type=int, default=4096)
     p.add_argument("--seed", type=int, default=1)
     p.add_argument("--ckpt-root", default="ckpt/brachiation")
-    p.add_argument("--main-updates", type=int, default=2200)
-    p.add_argument("--ft-updates", type=int, default=700)
+    p.add_argument("--main-updates", type=int, default=2500)
+    p.add_argument("--ft-updates", type=int, default=800)
     p.add_argument("--horizon", type=int, default=128)
     p.add_argument("--num-epochs", type=int, default=4)
     p.add_argument("--num-minibatches", type=int, default=32)

@@ -21,6 +21,18 @@ Tolerance gates (BASELINE "contact-solver tolerance gates"): positions and
 joint angles compared with a per-step growing envelope — contact solvers
 diverge multiplicatively, so the gate is
 ``atol + rtol_growth^t * base`` rather than a flat epsilon.
+
+Horizon-scale limits (measured on hardware, round-5d — BENCH.md "5d"):
+accumulated cross-engine divergence is Lyapunov-dominated. Kernel vs
+oracle from arithmetic-noise initial agreement (1.9e-5 per step,
+zero-action walker) reaches O(1) joint-angle error by t~=100 — an
+effective per-step growth of ~1.12, far above any sane envelope. So use
+``replay_check``'s pointwise gates for (a) determinism/self-replay and
+(b) SHORT windows (<~100 steps, or per-step with resync as in the 4f2
+methodology); long-horizon parity against a different engine must be
+STATISTICAL (return distributions, episode lengths, contact-impulse
+histograms). A 600-step pointwise pass against PyBullet is physically
+impossible and its failure would carry no information.
 """
 
 from __future__ import annotations
